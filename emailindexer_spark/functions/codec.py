@@ -1,0 +1,141 @@
+"""Posting-list compression: docID delta + variable-byte, block-max skip.
+
+The reference's Lucene index stores postings as compressed blocks with
+skip data (SURVEY.md §4 "Posting compression", "Skip lists / block
+metadata"); we re-express that as an explicit, numpy-vectorized codec:
+
+* doc IDs per (term, split) are sorted ascending and stored as
+  first-delta-from-block-start + consecutive deltas, varbyte-encoded
+  (7 payload bits per byte, MSB = continuation),
+* term frequencies are varbyte-encoded,
+* per-doc norm bytes (Lucene-style SmallFloat-encoded doc lengths,
+  ``smallfloat.int_to_byte4``) ride along raw — this inlines the "norms"
+  file into the postings so query-time scoring needs NO join against a
+  per-doc stats table (critical at 10^12 docs, where doc_stats cannot be
+  broadcast),
+* every ``BLOCK_SIZE`` (128) docs form an independently-decodable block
+  carrying (first_doc, last_doc, n, max_tf, min_norm) — the block-max
+  metadata that drives WAND skipping; max-score upper bounds are derived
+  at query time from (max_tf, min_norm) so the index does not bake in
+  corpus statistics.
+
+All encode/decode paths are pure numpy (no per-element Python in the hot
+loop) and run inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# ---------------------------------------------------------------- varbyte
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes per value: ceil(bit_length/7) min 1, computed by comparing
+    # against powers of 2^7 (log2 is unsafe at exact boundaries).
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # positions: for each value, its first output byte
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # fill byte j of each value that has > j bytes
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        sel = nbytes > j
+        idx = starts[sel] + j
+        chunk = (v[sel] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nbytes[sel] - 1) > j
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized varbyte decode → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    value_id = np.zeros(b.size, dtype=np.int64)
+    value_id[1:] = np.cumsum(is_end)[:-1]
+    n_values = int(is_end.sum())
+    # byte position within its value
+    starts_mask = np.ones(b.size, dtype=np.int64)
+    starts_mask[0] = 0
+    # position j of byte i = i - start_of_value(value_id[i])
+    value_starts = np.zeros(n_values, dtype=np.int64)
+    value_starts[1:] = np.nonzero(is_end)[0][:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - value_starts[value_id]
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, value_id, (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64)))
+    return out
+
+
+# ---------------------------------------------------------------- blocks
+
+@dataclass
+class EncodedBlocks:
+    """Column-parallel encoded blocks of one (term, split) posting list."""
+
+    first_doc: np.ndarray  # int64 per block
+    last_doc: np.ndarray  # int64 per block
+    n: np.ndarray  # int32 per block
+    max_tf: np.ndarray  # int32 per block
+    min_norm: np.ndarray  # int32 per block (SmallFloat byte, 0..255)
+    doc_bytes: list[bytes]
+    tf_bytes: list[bytes]
+    norm_bytes: list[bytes]
+
+
+def encode_blocks(
+    doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray, block_size: int = BLOCK_SIZE
+) -> EncodedBlocks:
+    """Encode one sorted posting run into independent blocks."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64)
+    if doc_ids.size and (np.diff(doc_ids) <= 0).any():
+        raise ValueError("doc_ids must be strictly increasing within a posting run")
+    nb = max(1, -(-doc_ids.size // block_size)) if doc_ids.size else 0
+    first, last, n, mtf, mnorm = (
+        np.empty(nb, dtype=np.int64),
+        np.empty(nb, dtype=np.int64),
+        np.empty(nb, dtype=np.int32),
+        np.empty(nb, dtype=np.int32),
+        np.empty(nb, dtype=np.int32),
+    )
+    dbs: list[bytes] = []
+    tbs: list[bytes] = []
+    nbs: list[bytes] = []
+    for i in range(nb):
+        sl = slice(i * block_size, min((i + 1) * block_size, doc_ids.size))
+        d, t, m = doc_ids[sl], tfs[sl], norms[sl]
+        first[i], last[i], n[i] = d[0], d[-1], d.size
+        mtf[i] = int(t.max())
+        mnorm[i] = int(m.min())
+        deltas = np.diff(d, prepend=d[0]).astype(np.uint64)  # first delta = 0
+        dbs.append(varbyte_encode(deltas))
+        tbs.append(varbyte_encode(t.astype(np.uint64)))
+        nbs.append(m.astype(np.uint8).tobytes())
+    return EncodedBlocks(first, last, n, mtf, mnorm, dbs, tbs, nbs)
+
+
+def decode_block(
+    first_doc: int, doc_bytes: bytes, tf_bytes: bytes, norm_bytes: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block → (doc_ids int64, tfs int64, norms int64)."""
+    deltas = varbyte_decode(doc_bytes).astype(np.int64)
+    docs = np.cumsum(deltas) + first_doc  # deltas[0] == 0
+    tfs = varbyte_decode(tf_bytes).astype(np.int64)
+    norms = np.frombuffer(norm_bytes, dtype=np.uint8).astype(np.int64)
+    return docs, tfs, norms

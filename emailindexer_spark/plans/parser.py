@@ -1,0 +1,221 @@
+"""Lucene classic-query-parser subset → typed AST.
+
+The reference parses queries with ``MultiFieldQueryParser`` over
+StandardAnalyzer (reference ``EmailIndexSearcher.java:49-53,99-103``;
+SURVEY.md §2.9).  We support the grammar subset the reference exposes and
+its own tests exercise: bare terms (default operator OR), ``AND``/``OR``/
+``NOT``, ``+``/``-`` prefixes, parentheses, quoted phrases, trailing-``*``
+prefix wildcards (reference test queries ``"t*"``, ``"t* r* s* e*"``),
+``^boost``.  Query-side text is analyzed with the same tokenizer as the
+index (case-insensitive matching falls out of lowercasing).
+
+Semantics implemented identically by the pure-Python oracle
+(:mod:`emailindexer_spark.oracle`) and the Spark planner
+(:mod:`emailindexer_spark.plans.planner`):
+
+* Boolean doc matching: all MUST clauses, no MUST_NOT clause, and —
+  when there is no MUST clause — at least one SHOULD clause.
+* Score = sum of matching MUST and SHOULD clause scores (Lucene
+  BooleanQuery), times boost.
+* Term/phrase clauses score BM25 (phrase tf = exact adjacent-occurrence
+  count; phrase idf = sum of constituent term idfs, Lucene
+  ``PhraseWeight`` behavior).
+* Prefix clauses are constant-score: a doc matching ANY expansion scores
+  ``1.0 * boost`` (Lucene multi-term CONSTANT_SCORE rewrite).
+* A pure-negative query matches nothing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from emailindexer_spark.functions.tokenizer import tokenize
+
+SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
+
+
+@dataclass
+class Node:
+    boost: float = 1.0
+
+
+@dataclass
+class Term(Node):
+    text: str = ""
+
+
+@dataclass
+class Phrase(Node):
+    terms: tuple[str, ...] = ()
+
+
+@dataclass
+class Prefix(Node):
+    prefix: str = ""
+
+
+@dataclass
+class Bool(Node):
+    clauses: list[tuple[str, Node]] = field(default_factory=list)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(q: str) -> list[str]:
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in "()+-":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise QueryParseError(f"unterminated phrase in {q!r}")
+            out.append(q[i : j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in '()"':
+                j += 1
+            out.append(q[i:j])
+            i = j
+    return out
+
+
+def _strip_boost(tok: str) -> tuple[str, float]:
+    if "^" in tok:
+        body, _, bs = tok.rpartition("^")
+        try:
+            return body, float(bs)
+        except ValueError:
+            return tok, 1.0
+    return tok, 1.0
+
+
+def _leaf(tok: str, simple: bool) -> Node | None:
+    tok, boost = _strip_boost(tok)
+    # single-field engine: accept and strip a `field:` prefix
+    if ":" in tok:
+        tok = tok.split(":", 1)[1]
+    if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+        terms = tuple(tokenize(tok[1:-1], simple=simple))
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return Term(boost=boost, text=terms[0])
+        return Phrase(boost=boost, terms=terms)
+    if tok.endswith("*") and len(tok) > 1:
+        pre = tokenize(tok[:-1], simple=simple)
+        if len(pre) != 1:
+            return None
+        return Prefix(boost=boost, prefix=pre[0])
+    toks = tokenize(tok, simple=simple)
+    if not toks:
+        return None
+    if len(toks) == 1:
+        return Term(boost=boost, text=toks[0])
+    # one input word analyzed into several tokens (e.g. "a1.b") → phrase,
+    # matching Lucene classic-parser behavior for multi-token analysis
+    return Phrase(boost=boost, terms=tuple(toks))
+
+
+def parse(query: str, simple: bool = False) -> Bool:
+    """Parse a query string into a Bool root node."""
+    toks = _lex(query)
+    node, rest = _parse_bool(toks, 0, simple)
+    if rest != len(toks):
+        raise QueryParseError(f"trailing tokens in {query!r}")
+    return node
+
+
+def _parse_bool(toks: list[str], i: int, simple: bool) -> tuple[Bool, int]:
+    clauses: list[tuple[str, Node]] = []
+    pending_occur: str | None = None
+    pending_op: str | None = None  # 'AND' | 'OR' | 'NOT'
+    while i < len(toks):
+        t = toks[i]
+        if t == ")":
+            break
+        if t in ("AND", "&&"):
+            pending_op = "AND"
+            i += 1
+            continue
+        if t in ("OR", "||"):
+            pending_op = "OR"
+            i += 1
+            continue
+        if t in ("NOT", "!"):
+            pending_op = "NOT"
+            i += 1
+            continue
+        if t == "+":
+            pending_occur = MUST
+            i += 1
+            continue
+        if t == "-":
+            pending_occur = MUST_NOT
+            i += 1
+            continue
+        if t == "(":
+            sub, j = _parse_bool(toks, i + 1, simple)
+            if j >= len(toks) or toks[j] != ")":
+                raise QueryParseError("unbalanced parens")
+            i = j + 1
+            boost = 1.0
+            if i < len(toks) and toks[i].startswith("^"):
+                _, boost = _strip_boost("x" + toks[i])
+                i += 1
+            sub.boost = boost
+            node: Node = sub
+        else:
+            leaf = _leaf(t, simple)
+            i += 1
+            if leaf is None:
+                pending_occur, pending_op = None, None
+                continue
+            node = leaf
+        occur = pending_occur
+        if occur is None:
+            if pending_op == "AND":
+                occur = MUST
+                # classic parser: `a AND b` promotes the PREVIOUS clause too
+                if clauses and clauses[-1][0] == SHOULD:
+                    clauses[-1] = (MUST, clauses[-1][1])
+            elif pending_op == "NOT":
+                occur = MUST_NOT
+            else:
+                occur = SHOULD
+        clauses.append((occur, node))
+        pending_occur, pending_op = None, None
+    return Bool(clauses=clauses), i
+
+
+def query_terms(node: Node) -> set[str]:
+    """All exact terms referenced (for postings pruning; prefixes excluded)."""
+    if isinstance(node, Term):
+        return {node.text}
+    if isinstance(node, Phrase):
+        return set(node.terms)
+    if isinstance(node, Bool):
+        out: set[str] = set()
+        for _, c in node.clauses:
+            out |= query_terms(c)
+        return out
+    return set()
+
+
+def query_prefixes(node: Node) -> set[str]:
+    if isinstance(node, Prefix):
+        return {node.prefix}
+    if isinstance(node, Bool):
+        out: set[str] = set()
+        for _, c in node.clauses:
+            out |= query_prefixes(c)
+        return out
+    return set()

@@ -1,0 +1,178 @@
+"""Unit tests: SmallFloat norms, varbyte codec, tokenizer, sanitizer, parser.
+
+These are the executable-spec pins from SURVEY.md §5 (our plan, items 1-2):
+the 256-entry norm table, codec round-trips, StandardAnalyzer-parity
+tokenization for the validated ASCII classes, BodyReplyRemover parity
+(reference BodyReplyRemover.java:10-24), and the classic-parser subset.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from emailindexer_spark.functions.codec import (
+    decode_block,
+    encode_blocks,
+    varbyte_decode,
+    varbyte_encode,
+)
+from emailindexer_spark.functions.sanitize import (
+    remove_quoted_replies,
+    remove_quoted_replies_str,
+)
+from emailindexer_spark.functions.smallfloat import (
+    LENGTH_TABLE,
+    byte4_to_int,
+    decode_lengths,
+    encode_lengths,
+    int_to_byte4,
+)
+from emailindexer_spark.functions.tokenizer import tokenize, tokenize_series
+from emailindexer_spark.plans.parser import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    Bool,
+    Phrase,
+    Prefix,
+    Term,
+    parse,
+)
+
+
+class TestSmallFloat:
+    def test_identity_below_8(self):
+        for i in range(8):
+            assert int_to_byte4(i) == i
+            assert byte4_to_int(i) == i
+
+    def test_top4bit_truncation_identity(self):
+        # decode(encode(i)) keeps only the top 4 significant bits
+        for i in [8, 9, 15, 16, 17, 31, 100, 255, 1000, 65535, 10**9]:
+            s = max(0, i.bit_length() - 4)
+            assert byte4_to_int(int_to_byte4(i)) == (i >> s) << s
+
+    def test_table_monotone_256(self):
+        assert LENGTH_TABLE.shape == (256,)
+        assert (np.diff(LENGTH_TABLE) > 0).all()
+        assert LENGTH_TABLE[0] == 0 and LENGTH_TABLE[255] == 15 << 30
+
+    def test_vectorized_matches_scalar(self):
+        arr = np.arange(0, 200000, 3)
+        enc = encode_lengths(arr)
+        assert [int_to_byte4(int(i)) for i in arr[:1000]] == enc[:1000].tolist()
+        assert (decode_lengths(enc) == [byte4_to_int(int_to_byte4(int(i))) for i in arr]).all()
+
+    def test_bucketing_is_lossy(self):
+        assert byte4_to_int(int_to_byte4(17)) == 16  # 17 and 16 share a norm
+
+
+class TestVarbyte:
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip(self, vals):
+        arr = np.array(vals, dtype=np.uint64)
+        assert varbyte_decode(varbyte_encode(arr)).tolist() == vals
+
+    def test_empty(self):
+        assert varbyte_encode(np.array([], dtype=np.uint64)) == b""
+        assert varbyte_decode(b"").size == 0
+
+    def test_compression_small_deltas_one_byte(self):
+        assert len(varbyte_encode(np.arange(100, dtype=np.uint64) % 128)) == 100
+
+
+class TestBlocks:
+    def test_roundtrip_and_blockmax(self):
+        rng = np.random.default_rng(7)
+        docs = np.unique(rng.integers(0, 10**9, size=1000, dtype=np.int64))
+        tfs = rng.integers(1, 99, size=docs.size).astype(np.int64)
+        norms = rng.integers(1, 255, size=docs.size).astype(np.int64)
+        eb = encode_blocks(docs, tfs, norms, block_size=128)
+        got_d, got_t, got_n = [], [], []
+        for i in range(len(eb.doc_bytes)):
+            d, t, n = decode_block(int(eb.first_doc[i]), eb.doc_bytes[i], eb.tf_bytes[i], eb.norm_bytes[i])
+            assert eb.first_doc[i] == d[0] and eb.last_doc[i] == d[-1]
+            assert eb.max_tf[i] == t.max() and eb.min_norm[i] == n.min()
+            assert eb.n[i] == d.size <= 128
+            got_d.append(d), got_t.append(t), got_n.append(n)
+        assert (np.concatenate(got_d) == docs).all()
+        assert (np.concatenate(got_t) == tfs).all()
+        assert (np.concatenate(got_n) == norms).all()
+
+    def test_rejects_unsorted(self):
+        with pytest.raises(ValueError):
+            encode_blocks(np.array([3, 2]), np.array([1, 1]), np.array([1, 1]))
+
+
+class TestTokenizer:
+    def test_uax29_ascii_edges(self):
+        # dotted numerics/acronyms join, mixed-class dots split,
+        # apostrophes join letters only, hyphens split (SURVEY.md §7)
+        assert tokenize("Don't split 2.0.26 or u.s.a but a1.b hy-phen x..y") == [
+            "don't", "split", "2.0.26", "or", "u.s.a", "but", "a1", "b", "hy", "phen", "x", "y",
+        ]
+        assert tokenize("2'3 a'b it's") == ["2", "3", "a'b", "it's"]
+        assert tokenize("") == [] and tokenize(None) == []
+
+    def test_lowercase(self):
+        assert tokenize("FOO Bar") == ["foo", "bar"]
+
+    def test_max_len_split(self):
+        t = "a" * 600
+        assert tokenize(t) == ["a" * 255, "a" * 255, "a" * 90]
+
+    def test_series_matches_scalar(self):
+        texts = pd.Series(["Don't 2.0.26 a1.b", None, "", "x y z", "A" * 300])
+        got = tokenize_series(texts)
+        for s, g in zip(texts, got):
+            assert tokenize(s) == list(g)
+
+    def test_simple_mode(self):
+        assert tokenize("don't 2.0.26", simple=True) == ["don", "t", "2", "0", "26"]
+
+
+class TestSanitizer:
+    def test_reference_parity(self):
+        # reference BodyReplyRemover: trimmed '>' lines dropped, trimmed
+        # case-insensitive marker stops processing
+        t = "keep\n > q1\n>q2\nKEEP 2\n  -----original message-----  \ndropped\n> also"
+        assert remove_quoted_replies_str(t) == "keep\nKEEP 2\n"
+
+    def test_series_matches_scalar(self):
+        texts = pd.Series([
+            "a\n> b\nc", None, "-----Original Message-----\nx", "plain",
+        ])
+        got = remove_quoted_replies(texts)
+        for s, g in zip(texts, got):
+            assert remove_quoted_replies_str(s) == g
+
+
+class TestParser:
+    def test_default_or(self):
+        q = parse("apple banana")
+        assert [(o, c.text) for o, c in q.clauses] == [(SHOULD, "apple"), (SHOULD, "banana")]
+
+    def test_and_promotes_both(self):
+        q = parse("apple AND banana")
+        assert [o for o, _ in q.clauses] == [MUST, MUST]
+
+    def test_plus_minus_not(self):
+        q = parse("+a -b NOT c d")
+        assert [o for o, _ in q.clauses] == [MUST, MUST_NOT, MUST_NOT, SHOULD]
+
+    def test_phrase_prefix_group(self):
+        q = parse('"a b" t* (x OR y)')
+        assert isinstance(q.clauses[0][1], Phrase) and q.clauses[0][1].terms == ("a", "b")
+        assert isinstance(q.clauses[1][1], Prefix) and q.clauses[1][1].prefix == "t"
+        assert isinstance(q.clauses[2][1], Bool)
+
+    def test_analysis_lowercases_and_splits(self):
+        q = parse("APPLE a1.b")
+        assert q.clauses[0][1].text == "apple"
+        assert isinstance(q.clauses[1][1], Phrase)  # multi-token analysis
+
+    def test_field_prefix_stripped(self):
+        assert parse("body:apple").clauses[0][1].text == "apple"
