@@ -1,0 +1,108 @@
+"""Global docID assignment: dense rank over stable (conv_id, turn_idx).
+
+The reference's Lucene docIDs are segment-insertion order, which equals
+the DB page order ``DATE DESC, MESSAGE_ID ASC`` (SURVEY.md §2.9); for
+transcripts the input_hint's stable ordering is ``(conv_id, turn_idx)``,
+so docID = 0-based dense rank over that ordering.  Top-k ties break by
+ascending docID, so this assignment is part of the correctness contract
+and must be invariant to partitioning (FIXTURES.md §6.2).
+
+Two implementations:
+
+* ``method="window"`` — ``row_number() OVER (ORDER BY conv_id, turn_idx)``.
+  One global sort into a single task: fine for tests, not for 10^12 rows.
+* ``method="two_phase"`` (default) — the scale path.  Exploits the
+  input invariant that ``turn_idx`` is dense from 0 within a conversation
+  (validated on demand): doc_id = conv_offset + turn_idx, where
+  conv_offset is the cumulative turn count of all conversations sorting
+  before this one.  The conversation-level cumulative sum is itself
+  computed distributively: range-partition the (conv_id, n_turns) table
+  by conv_id, take per-partition sums (a P-row driver collect), prefix-sum
+  those on the driver, and let each partition cumsum locally in a
+  mapInPandas — no global single-task sort anywhere, and the per-turn
+  work is ONE co-partitioned shuffle join on conv_id.
+
+Both yield identical doc_ids (property-tested across partition counts).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ["conv_id", "turn_idx"]
+
+
+def validate_transcripts(df: DataFrame) -> None:
+    """Assert the input_hint invariants: (conv_id, turn_idx) unique and
+    turn_idx dense from 0 (reference analogue: PARENT_ID chain integrity,
+    EmailRepository.java:184-209 — here explicit by schema)."""
+    bad = (
+        df.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"), F.min("turn_idx").alias("mn"))
+        .where((F.col("mx") != F.col("n") - 1) | (F.col("mn") != 0))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError("turn_idx is not dense from 0 within some conv_id")
+
+
+def assign_doc_ids(
+    df: DataFrame, method: str = "two_phase", num_partitions: int | None = None
+) -> DataFrame:
+    """Return df + ``doc_id`` (long), dense 0-based over (conv_id, turn_idx)."""
+    if method == "window":
+        w = Window.orderBy(*ORDER_COLS)
+        return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    if method != "two_phase":
+        raise ValueError(method)
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    conv_counts = df.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    parted = (
+        conv_counts.repartitionByRange(nparts, "conv_id")
+        .sortWithinPartitions("conv_id")
+        .persist()
+    )
+    try:
+        part_sums = {
+            r["pid"]: r["s"]
+            for r in parted.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.sum("n_turns").alias("s"))
+            .collect()
+        }
+        # driver-side prefix sum over at most `nparts` values
+        prefix: dict[int, int] = {}
+        acc = 0
+        for pid in range(nparts):
+            prefix[pid] = acc
+            acc += int(part_sums.get(pid, 0))
+        prefix_bc = spark.sparkContext.broadcast(prefix)
+
+        def local_cumsum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ctx = TaskContext.get()
+            run = prefix_bc.value[ctx.partitionId()] if ctx else 0
+            for pdf in it:
+                n = pdf["n_turns"].to_numpy(dtype=np.int64)
+                starts = run + np.concatenate(([0], np.cumsum(n[:-1]))) if n.size else np.array([], dtype=np.int64)
+                run += int(n.sum())
+                yield pd.DataFrame({"conv_id": pdf["conv_id"], "conv_offset": starts})
+
+        offsets = parted.mapInPandas(local_cumsum, "conv_id string, conv_offset long")
+        # Materialize offsets NOW (localCheckpoint cuts the lineage): the
+        # prefix sums above are only valid for the exact partitioning we
+        # sampled; a later recompute of `parted` after unpersist could
+        # re-sample different range bounds and silently mis-assign ids.
+        offsets = offsets.localCheckpoint(eager=True)
+    finally:
+        parted.unpersist(blocking=False)
+    out = df.join(offsets, "conv_id").withColumn(
+        "doc_id", (F.col("conv_offset") + F.col("turn_idx")).cast("long")
+    )
+    return out.drop("conv_offset")

@@ -1,0 +1,336 @@
+"""Distributed inverted-index build (SURVEY.md §2.10, §3.3).
+
+Replaces the reference's sequential paged scan → Lucene IndexWriter loop
+(EmailIndexGenerator.java:45-101) with a Spark-first pipeline:
+
+  stage doc_index   sanitize (BodyReplyRemover parity, optional) →
+                    docID assignment (two-phase, operators/docid.py) →
+                    stored-fields table, range-partitioned by doc_id
+  stage doc_stats   single tokenize pass (Arrow/pandas UDF, vectorized) →
+                    (doc_id, term, tf, dl, norm) rows → per-doc lengths +
+                    SmallFloat norms; global N/avgdl into the manifest
+  stage postings    heavy-term detection from per-term doc frequencies →
+                    explicit skew splitting: df > threshold terms are cut
+                    into doc-range splits → ONE salted
+                    repartition-by-(term, split) shuffle →
+                    applyInPandas encodes each sorted run into
+                    delta+varbyte blocks with block-max metadata →
+                    written partitioned by part = md5(term) % P
+                    (query-side partition pruning)
+  stage build_metrics  per-part lineage: postings rows written, payload
+                    bytes, skew splits (FIXTURES.md §5)
+
+Every stage commits a snapshot in the manifest (sources/checkpoint.py);
+``build(resume=True)`` skips committed stages, reproducing byte-identical
+postings after a mid-build kill.
+
+Scale notes (the 100 TB story):
+* exactly two wide shuffles touch per-token data: the tf-row aggregation
+  implicit in tokenize (map-side, inside the UDF — no Spark shuffle) and
+  the repartition-by-(term, split); everything else shuffles per-doc or
+  per-term rows,
+* skew: without splitting, a 40%-presence stopword's posting run lands in
+  one task; with df-proportional splits each task gets ≤ split_target
+  postings regardless of term skew,
+* no driver-side loops over data; driver only handles P-sized summaries.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emailindexer_spark.functions.codec import BLOCK_SIZE, encode_blocks
+from emailindexer_spark.functions.sanitize import remove_quoted_replies
+from emailindexer_spark.functions.smallfloat import encode_lengths
+from emailindexer_spark.functions.tokenizer import tokenize_series
+from emailindexer_spark.operators.docid import assign_doc_ids, validate_transcripts
+from emailindexer_spark.sources.checkpoint import Manifest
+
+POSTINGS_SCHEMA = (
+    "term string, split_id int, part int, df_row long, first_doc long, last_doc long, "
+    "b_first array<long>, b_last array<long>, b_n array<int>, b_maxtf array<int>, "
+    "b_minnorm array<int>, b_docs array<binary>, b_tfs array<binary>, b_norms array<binary>"
+)
+
+TF_SCHEMA = "doc_id long, term string, tf int, dl int, norm int"
+
+
+def term_part_expr(term_col, num_parts: int):
+    """part = int(md5(term)[:8], 16) % P — driver-computable (python
+    hashlib gives the same value), so query planning prunes partitions
+    without a Spark job."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long"),
+        F.lit(num_parts),
+    ).cast("int")
+
+
+def term_part_py(term: str, num_parts: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % num_parts
+
+
+def _tokenize_to_tf_rows(simple: bool):
+    """mapInPandas: (doc_id, text) batches → (doc_id, term, tf, dl, norm)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            toks = tokenize_series(pdf["text"], simple=simple)
+            nlens = toks.str.len().to_numpy(dtype=np.int64)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if nlens.sum() == 0:
+                continue
+            flat_docs = np.repeat(doc_ids, nlens)
+            flat_terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
+            grouped = (
+                pd.DataFrame({"doc_id": flat_docs, "term": flat_terms})
+                .groupby(["doc_id", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            dl_map = pd.Series(nlens, index=doc_ids)
+            dl = dl_map.reindex(grouped["doc_id"]).to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": grouped["doc_id"],
+                    "term": grouped["term"],
+                    "tf": grouped["tf"].astype("int32"),
+                    "dl": dl.astype("int32"),
+                    "norm": encode_lengths(dl).astype("int32"),
+                }
+            )
+
+    return gen
+
+
+def _encode_group(block_size: int, num_parts: int):
+    """applyInPandas over one (term, split_id) group → one posting row."""
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iat[0]
+        split_id = int(pdf["split_id"].iat[0])
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        eb = encode_blocks(
+            docs,
+            pdf["tf"].to_numpy(dtype=np.int64),
+            pdf["norm"].to_numpy(dtype=np.int64),
+            block_size=block_size,
+        )
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "split_id": [split_id],
+                "part": [term_part_py(term, num_parts)],
+                "df_row": [docs.size],
+                "first_doc": [int(docs[0])],
+                "last_doc": [int(docs[-1])],
+                "b_first": [eb.first_doc.tolist()],
+                "b_last": [eb.last_doc.tolist()],
+                "b_n": [eb.n.tolist()],
+                "b_maxtf": [eb.max_tf.tolist()],
+                "b_minnorm": [eb.min_norm.tolist()],
+                "b_docs": [eb.doc_bytes],
+                "b_tfs": [eb.tf_bytes],
+                "b_norms": [eb.norm_bytes],
+            }
+        )
+
+    return enc
+
+
+class IndexBuilder:
+    """Build (or resume) an index directory from a transcripts DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        num_parts: int = 32,
+        block_size: int = BLOCK_SIZE,
+        heavy_df_threshold: int = 100_000,
+        split_target: int = 50_000,
+        simple_tokens: bool = False,
+        sanitize: bool = False,
+        validate: bool = False,
+        docid_method: str = "two_phase",
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.num_parts = num_parts
+        self.block_size = block_size
+        self.heavy_df_threshold = heavy_df_threshold
+        self.split_target = split_target
+        self.simple_tokens = simple_tokens
+        self.sanitize = sanitize
+        self.validate = validate
+        self.docid_method = docid_method
+
+    def _params(self) -> dict:
+        return {
+            "num_parts": self.num_parts,
+            "block_size": self.block_size,
+            "heavy_df_threshold": self.heavy_df_threshold,
+            "split_target": self.split_target,
+            "simple_tokens": self.simple_tokens,
+            "sanitize": self.sanitize,
+        }
+
+    def build(self, transcripts: DataFrame, resume: bool = False) -> Manifest:
+        man = Manifest.load_or_create(self.out_dir, self._params())
+        if not resume:
+            # a fresh build over an existing manifest restarts the ledger
+            for st in list(man.stages):
+                man.stages.pop(st)
+            man._flush()
+
+        # ---------------------------------------------------- doc_index
+        if not man.is_complete("doc_index"):
+            df = transcripts
+            if self.validate:
+                validate_transcripts(df)
+            if self.sanitize:
+                clean = F.pandas_udf(remove_quoted_replies, "string")
+                df = df.withColumn("text", clean(F.col("text")))
+            df = assign_doc_ids(df, method=self.docid_method)
+            (
+                df.select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text")
+                .repartitionByRange(self.num_parts, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(man.stage_path("doc_index"))
+            )
+            man.commit_stage("doc_index")
+        doc_index = self.spark.read.parquet(man.stage_path("doc_index"))
+
+        # ---------------------------------------------------- tf rows (transient)
+        tf_rows = doc_index.select("doc_id", "text").mapInPandas(
+            _tokenize_to_tf_rows(self.simple_tokens), TF_SCHEMA
+        )
+        # reused by doc_stats, df-stats and postings → persist once
+        tf_rows = tf_rows.persist()
+
+        # ---------------------------------------------------- doc_stats
+        if not man.is_complete("doc_stats"):
+            dl_df = tf_rows.groupBy("doc_id").agg(
+                F.max("dl").alias("dl"), F.max("norm").alias("norm")
+            )
+            (
+                doc_index.select("doc_id", "conv_id", "turn_idx")
+                .join(dl_df, "doc_id", "left")
+                .fillna(0, subset=["dl", "norm"])
+                .repartitionByRange(self.num_parts, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(man.stage_path("doc_stats"))
+            )
+            man.commit_stage("doc_stats")
+        doc_stats = self.spark.read.parquet(man.stage_path("doc_stats"))
+        if "n_docs" not in man.stats or not man.is_complete("postings"):
+            agg = doc_stats.where(F.col("dl") > 0).agg(
+                F.count("*").alias("n"), F.sum("dl").alias("total")
+            ).collect()[0]
+            n_rows = doc_stats.count()
+            # Lucene stats: docCount/avgdl over docs with ≥1 token (§2.9)
+            man.set_stats(
+                n_docs=int(agg["n"] or 0),
+                total_tokens=int(agg["total"] or 0),
+                n_rows=int(n_rows),
+                max_doc_id=int(n_rows) - 1,
+            )
+
+        # ---------------------------------------------------- postings
+        if not man.is_complete("postings"):
+            n_rows = int(man.stats["n_rows"])
+            df_t = tf_rows.groupBy("term").agg(F.count("*").alias("df"))
+            heavy = (
+                df_t.where(F.col("df") > self.heavy_df_threshold)
+                .withColumn(
+                    "n_splits",
+                    F.ceil(F.col("df") / F.lit(self.split_target)).cast("int"),
+                )
+                .select("term", "n_splits")
+            )
+            rows = tf_rows.join(F.broadcast(heavy), "term", "left").withColumn(
+                "split_id",
+                F.when(F.col("n_splits").isNull(), F.lit(0)).otherwise(
+                    F.floor(
+                        F.col("doc_id")
+                        / F.ceil(F.lit(n_rows) / F.col("n_splits")).cast("long")
+                    ).cast("int")
+                ),
+            )
+            postings = rows.groupBy("term", "split_id").applyInPandas(
+                _encode_group(self.block_size, self.num_parts), POSTINGS_SCHEMA
+            )
+            (
+                postings.repartition(self.num_parts, "part")
+                .sortWithinPartitions("term", "split_id")
+                .write.mode("overwrite")
+                .partitionBy("part")
+                .parquet(man.stage_path("postings"))
+            )
+            man.commit_stage("postings")
+        tf_rows.unpersist(blocking=False)
+
+        # ---------------------------------------------------- build_metrics
+        if not man.is_complete("build_metrics"):
+            p = self.spark.read.parquet(man.stage_path("postings"))
+            payload_bytes = (
+                F.aggregate(
+                    F.transform(
+                        F.col("b_docs"), lambda x: F.octet_length(x)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+                + F.aggregate(
+                    F.transform(F.col("b_tfs"), lambda x: F.octet_length(x)),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+                + F.aggregate(
+                    F.transform(F.col("b_norms"), lambda x: F.octet_length(x)),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+            )
+            metrics = (
+                p.withColumn("payload_bytes", payload_bytes)
+                .groupBy("part")
+                .agg(
+                    F.count("*").alias("posting_rows"),
+                    F.sum("df_row").alias("postings_written"),
+                    F.sum("payload_bytes").alias("bytes_compressed"),
+                    F.sum(F.when(F.col("split_id") > 0, 1).otherwise(0)).alias("skew_splits"),
+                    F.countDistinct("term").alias("n_terms"),
+                )
+                .withColumn("snapshot_id", F.lit(man.snapshot_id))
+            )
+            metrics.write.mode("overwrite").parquet(man.stage_path("build_metrics"))
+            g = self.spark.read.parquet(man.stage_path("build_metrics")).agg(
+                F.sum("postings_written"), F.sum("bytes_compressed"), F.sum("skew_splits")
+            ).collect()[0]
+            man.set_stats(
+                postings_written=int(g[0] or 0),
+                bytes_compressed=int(g[1] or 0),
+                skew_splits=int(g[2] or 0),
+            )
+            man.commit_stage("build_metrics")
+        return man
+
+
+def avgdl_from_stats(stats: dict) -> float:
+    n = stats.get("n_docs", 0)
+    return (stats["total_tokens"] / n) if n else 0.0
+
+
+def n_shards_for(n_rows: int, target_per_shard: int = 262_144) -> int:
+    return max(1, math.ceil(n_rows / target_per_shard))

@@ -1,0 +1,103 @@
+"""Build pipeline: stats, skew splitting, metrics, resumability
+(FIXTURES.md §5/§6.3/§6.5)."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from emailindexer_spark.plans.builder import IndexBuilder
+from emailindexer_spark.sources.checkpoint import Manifest
+
+
+def test_stats_match_oracle(index_dir, oracle_ix):
+    man = Manifest.load_or_create(index_dir)
+    assert man.stats["n_docs"] == oracle_ix.n_docs
+    assert man.stats["total_tokens"] / man.stats["n_docs"] == pytest.approx(oracle_ix.avgdl)
+
+
+def test_heavy_terms_are_split(spark, index_dir):
+    p = spark.read.parquet(os.path.join(index_dir, "postings"))
+    splits = p.where(F.col("split_id") > 0)
+    assert splits.count() > 1  # FIXTURES.md §6.5: >1 skew split
+    # splits of one term cover disjoint, ordered doc ranges
+    rows = (
+        p.where(F.col("split_id") >= 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"), F.collect_list(F.struct("split_id", "first_doc", "last_doc")).alias("s"))
+        .where(F.col("n") > 1)
+        .limit(5)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        parts = sorted(r["s"], key=lambda x: x["split_id"])
+        for a, b in zip(parts, parts[1:]):
+            assert a["last_doc"] < b["first_doc"]
+
+
+def test_build_metrics_lineage(spark, index_dir):
+    m = spark.read.parquet(os.path.join(index_dir, "build_metrics"))
+    man = Manifest.load_or_create(index_dir)
+    tot = m.agg(F.sum("postings_written"), F.sum("skew_splits")).collect()[0]
+    assert tot[0] == man.stats["postings_written"] > 0
+    assert tot[1] == man.stats["skew_splits"] > 1
+    assert m.select("snapshot_id").distinct().count() == 1
+
+
+def test_partition_pruning_layout(spark, index_dir):
+    # postings are physically partitioned by part=md5(term)%P
+    assert glob.glob(os.path.join(index_dir, "postings", "part=*"))
+
+
+def _postings_payloads(spark, d):
+    rows = (
+        spark.read.parquet(os.path.join(d, "postings"))
+        .select("term", "split_id", "b_docs", "b_tfs", "b_norms")
+        .collect()
+    )
+    return sorted(
+        (r["term"], r["split_id"], tuple(map(bytes, r["b_docs"])), tuple(map(bytes, r["b_tfs"])), tuple(map(bytes, r["b_norms"])))
+        for r in rows
+    )
+
+
+@pytest.mark.slow
+def test_kill_and_resume_byte_identical(spark, corpus_sdf, index_dir):
+    d = tempfile.mkdtemp(prefix="ix_resume_")
+    try:
+        b = IndexBuilder(spark, d, num_parts=8, heavy_df_threshold=500, split_target=400)
+        # phase 1: run the full build, then simulate a crash AFTER doc_stats
+        # by deleting the postings + metrics stages and their ledger entries
+        b.build(corpus_sdf)
+        man = Manifest.load_or_create(d)
+        for st in ("postings", "build_metrics"):
+            shutil.rmtree(os.path.join(d, st))
+            man.stages.pop(st)
+        man._flush()
+        # phase 2: resume must NOT rebuild doc_index/doc_stats, and must
+        # reproduce byte-identical postings payloads
+        b.build(corpus_sdf, resume=True)
+        assert _postings_payloads(spark, d) == _postings_payloads(spark, index_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_payload_invariant_to_input_partitioning(spark, corpus_sdf, index_dir):
+    d = tempfile.mkdtemp(prefix="ix_repart_")
+    try:
+        IndexBuilder(
+            spark, d, num_parts=8, heavy_df_threshold=500, split_target=400
+        ).build(corpus_sdf.repartition(17))
+        assert _postings_payloads(spark, d) == _postings_payloads(spark, index_dir)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_param_mismatch_rejected(spark, corpus_sdf, index_dir):
+    with pytest.raises(ValueError):
+        IndexBuilder(spark, index_dir, num_parts=4).build(corpus_sdf, resume=True)

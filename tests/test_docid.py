@@ -1,0 +1,56 @@
+"""docID assignment: two-phase == window, invariant to partition count
+(FIXTURES.md §6.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from emailindexer_spark.operators.docid import assign_doc_ids, validate_transcripts
+
+
+@pytest.fixture(scope="module")
+def small(spark, corpus_sdf):
+    return corpus_sdf.limit(1200).cache()
+
+
+def _ids(df):
+    return {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in df.select("conv_id", "turn_idx", "doc_id").collect()
+    }
+
+
+def test_two_phase_equals_window(spark, small):
+    a = _ids(assign_doc_ids(small, method="window"))
+    b = _ids(assign_doc_ids(small, method="two_phase"))
+    assert a == b
+
+
+@pytest.mark.parametrize("nparts", [2, 8, 32])
+def test_invariant_to_partitioning(spark, small, nparts):
+    base = _ids(assign_doc_ids(small, method="window"))
+    shuffled = small.repartition(nparts)
+    got = _ids(assign_doc_ids(shuffled, method="two_phase", num_partitions=nparts))
+    assert got == base
+
+
+def test_dense_zero_based(spark, small):
+    df = assign_doc_ids(small, method="two_phase")
+    n = df.count()
+    agg = df.agg(
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.countDistinct("doc_id").alias("d"),
+    ).collect()[0]
+    assert agg["mn"] == 0 and agg["mx"] == n - 1 and agg["d"] == n
+
+
+def test_validate_rejects_sparse_turns(spark):
+    bad = spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 2, "y")], "conv_id string, turn_idx int, text string"
+    )
+    with pytest.raises(ValueError):
+        validate_transcripts(bad)
+    ok = spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 1, "y")], "conv_id string, turn_idx int, text string"
+    )
+    validate_transcripts(ok)

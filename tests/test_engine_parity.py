@@ -1,0 +1,83 @@
+"""Golden end-to-end parity: Spark engine vs pure-Python Lucene oracle.
+
+BASELINE.md acceptance: top-k ranks exactly equal, scores within 1e-4
+relative, on the full reference query set (FIXTURES.md §3) — exhaustive
+path AND block-max WAND path (A/B).
+"""
+
+import pytest
+
+from emailindexer_spark.oracle import search as osearch
+from emailindexer_spark.plans import wand as wand_mod
+from emailindexer_spark.plans.parser import parse
+from emailindexer_spark.plans.planner import SearchEngine
+from emailindexer_spark.sources.fixtures import reference_queries
+
+REL_TOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def engine(spark, index_dir):
+    return SearchEngine(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def queries(corpus_pdf):
+    return reference_queries(corpus_pdf)
+
+
+def _assert_match(got, exp, qid):
+    assert [d for d, _ in got] == [d for d, _ in exp], f"{qid}: rank mismatch"
+    for (d, a), (_, b) in zip(got, exp):
+        assert abs(a - b) <= REL_TOL * max(1.0, abs(b)), f"{qid}: score mismatch doc {d}: {a} vs {b}"
+
+
+def test_reference_query_set_exhaustive(engine, oracle_ix, queries):
+    for q in queries:
+        exp = osearch(oracle_ix, q["query"], k=q["k"], mode=q["mode"])
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.search(q["query"], k=q["k"], mode=q["mode"], use_wand=False).collect()
+        ]
+        _assert_match(got, exp, q["query_id"])
+
+
+def test_reference_query_set_wand_ab(engine, oracle_ix, queries):
+    ran = 0
+    for q in queries:
+        if q["mode"] != "turns" or not wand_mod.is_wand_eligible(parse(q["query"])):
+            continue
+        ran += 1
+        exp = osearch(oracle_ix, q["query"], k=q["k"], mode=q["mode"])
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.search(q["query"], k=q["k"], mode=q["mode"], use_wand=True).collect()
+        ]
+        _assert_match(got, exp, q["query_id"])
+    assert ran >= 5  # the fixture set must actually exercise WAND
+
+
+def test_rank_column_and_schema(engine):
+    rows = engine.search("qojema", k=5).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert set(rows[0].asDict()) == {"rank", "doc_id", "conv_id", "turn_idx", "score"}
+
+
+def test_with_text_join(engine, corpus_pdf):
+    rows = engine.search("qojema", k=3, with_text=True).collect()
+    lookup = {
+        (r.conv_id, r.turn_idx): r.text for r in corpus_pdf.itertuples(index=False)
+    }
+    for r in rows:
+        # per-turn text equality under stable ordering (input_hint invariant)
+        assert r["text"] == lookup[(r["conv_id"], r["turn_idx"])]
+
+
+def test_unindexed_query_empty(engine):
+    assert engine.search("zzzzqqqqxxxx wwwwww", k=10).count() == 0
+
+
+def test_conversation_collapse_unique_convs(engine):
+    rows = engine.search("qojema", k=20, mode="conversations").collect()
+    convs = [r["conv_id"] for r in rows]
+    assert len(convs) == len(set(convs))
