@@ -1,38 +1,845 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 search over transcripts derived from
+sf0.001 ``documents``.  ``queries()`` — one entry per implemented
+operator family (SURVEY.md §2 + the training-data-pipeline operators);
+each callable takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql()`` — the DuckDB-runnable ANSI-SQL equivalent of each
+query; Spark and SQL share bit-identical derivations (md5-based hashes,
+identical regexes, identical BM25 formula incl. the lossy SmallFloat
+norm identity decode(encode(dl)) = top-4-bits(dl)).
+
+Column names and types are aligned pairwise; float columns are rounded
+to 4 decimals on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emailindexer_spark.operators import dedup as D
+from emailindexer_spark.operators import quality as Q
+from emailindexer_spark.operators import similarity as S
+from emailindexer_spark.operators.dedup import md5_int32, normalized
+from emailindexer_spark.plans.builder import IndexBuilder
+from emailindexer_spark.plans.planner import SearchEngine
+from emailindexer_spark.sources.transcripts import (
+    SQL_TRANSCRIPTS_PRELUDE,
+    derived_transcripts,
+)
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB): tokenization + BM25 statistics over the
+# derived transcripts — mirrors plans/builder.py with simple_tokens=True
+# --------------------------------------------------------------------------
+
+_BM25_PRELUDE = (
+    SQL_TRANSCRIPTS_PRELUDE
+    + """,
+tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM docs
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM tokens GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id, count(*) AS dl,
+         CASE WHEN count(*) < 8 THEN count(*)
+              ELSE (count(*) >> (CAST(floor(log2(count(*))) AS INT) - 3))
+                   << (CAST(floor(log2(count(*))) AS INT) - 3)
+         END AS dlq
+  FROM tokens GROUP BY doc_id
+),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)"""
+)
+
+
+def _sqlist(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def _bm25_sql(
+    scoring: list[str],
+    k: int,
+    musts: list[str] | None = None,
+    nots: list[str] | None = None,
+    mode: str = "turns",
+) -> str:
+    musts = musts or []
+    nots = nots or []
+    all_terms = sorted(set(scoring) | set(musts))
+    must_expr = (
+        f", count(DISTINCT CASE WHEN tf.term IN ({_sqlist(sorted(set(musts)))}) THEN tf.term END) AS nmust"
+        if musts
+        else ""
+    )
+    having = f"HAVING nmust = {len(set(musts))}" if musts else ""
+    not_filter = (
+        f"AND sc.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({_sqlist(sorted(set(nots)))}))"
+        if nots
+        else ""
+    )
+    body = f"""{_BM25_PRELUDE},
+scores AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN tf.term IN ({_sqlist(sorted(set(scoring)))})
+                  THEN ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf /
+                       (tf.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl))
+                  ELSE 0 END) AS score{must_expr}
+  FROM tf
+  JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  JOIN dl q ON q.doc_id = tf.doc_id
+  WHERE tf.term IN ({_sqlist(all_terms)})
+  GROUP BY tf.doc_id
+  {having}
+)"""
+    if mode == "turns":
+        return f"""{body}
+SELECT CAST(row_number() OVER (ORDER BY sc.score DESC, dd.doc_id) AS INT) AS rank,
+       dd.doc_id, dd.conv_id, dd.turn_idx, round(sc.score, 4) AS score
+FROM scores sc JOIN docs dd USING (doc_id)
+WHERE sc.score > 0 {not_filter}
+ORDER BY sc.score DESC, dd.doc_id LIMIT {k}"""
+    return f"""{body},
+collapsed AS (
+  SELECT dd.doc_id, dd.conv_id, dd.turn_idx, sc.score,
+         row_number() OVER (PARTITION BY dd.conv_id ORDER BY sc.score DESC, dd.doc_id) AS rn
+  FROM scores sc JOIN docs dd USING (doc_id)
+  WHERE sc.score > 0 {not_filter}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, conv_id, turn_idx, round(score, 4) AS score
+FROM collapsed WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+# --------------------------------------------------------------------------
+# Spark-side helpers
+# --------------------------------------------------------------------------
+
+_ENGINE_CACHE: dict[str, SearchEngine] = {}
+
+
+def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    key = os.path.abspath(sf_dir)
+    if key not in _ENGINE_CACHE:
+        from emailindexer_spark import __version__
+
+        # engine version in the cache path: a /tmp index built by older
+        # code must not satisfy a newer contract run
+        ix_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"eisx_index_v{__version__}_" + key.strip("/").replace("/", "_"),
+        )
+        if not os.path.exists(os.path.join(ix_dir, "_snapshots", "manifest.json")):
+            IndexBuilder(
+                spark,
+                ix_dir,
+                num_parts=8,
+                heavy_df_threshold=200,
+                split_target=150,
+                simple_tokens=True,
+            ).build(derived_transcripts(spark, sf_dir))
+        try:
+            _ENGINE_CACHE[key] = SearchEngine(spark, ix_dir)
+        except ValueError:
+            # stale partial dir from an interrupted run → rebuild
+            import shutil
+
+            shutil.rmtree(ix_dir, ignore_errors=True)
+            IndexBuilder(
+                spark, ix_dir, num_parts=8, heavy_df_threshold=200,
+                split_target=150, simple_tokens=True,
+            ).build(derived_transcripts(spark, sf_dir))
+            _ENGINE_CACHE[key] = SearchEngine(spark, ix_dir)
+    return _ENGINE_CACHE[key]
+
+
+def _q_bm25(query: str, k: int, mode: str = "turns", wand: bool | None = False):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine_for(spark, sf_dir)
+        out = eng.search(query, k=k, mode=mode, use_wand=wand)
+        return out.withColumn("score", F.round("score", 4))
+
+    return fn
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of every 7th doc (ids shifted by 100000) —
+    deterministic duplicates so dedup operators have real work."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+_SQL_DUP_DOCS = """
+dup_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)"""
+
+# quality-metric SQL fragments mirroring operators/quality.py
+_SQL_WORDS = "CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+_SQL_NTOK = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+_SQL_STOPWORDS_EN = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+def _sql_stop_ratio(words: str, stoplist: str) -> str:
+    return (
+        f"CASE WHEN len({words}) > 0 THEN "
+        f"CAST(len(list_filter({words}, x -> list_contains({stoplist}, x))) AS DOUBLE) / len({words}) "
+        f"ELSE 0.0 END"
+    )
+
+
+# --------------------------------------------------------------------------
+# the contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001-derived transcripts
+    and run a conversation-collapsed BM25 top-k query."""
+    eng = _engine_for(spark, "/root/testdata/sf0.001")
+    return eng.search("spark data -dup", k=10, mode="conversations", with_text=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- full-text / BM25 (SURVEY §2.9, Q1-Q10) ----------------
+    q["bm25_term_rare"] = _q_bm25("dup", 10)
+    q["bm25_term_heavy"] = _q_bm25("batch", 15)
+    q["bm25_or"] = _q_bm25("dup spark window", 20)
+    q["bm25_or_wand"] = _q_bm25("dup vector merge", 20, wand=True)
+    q["bm25_and"] = _q_bm25("spark AND window", 10)
+    q["bm25_must_should"] = _q_bm25("+dup batch", 10)
+    q["bm25_not"] = _q_bm25("dup -window", 10)
+    q["bm25_absent"] = _q_bm25("zzzzmissing dup", 10)
+    q["bm25_conversations"] = _q_bm25("dup spark", 10, mode="conversations")
+
+    def bm25_prefix(spark, sf_dir):
+        eng = _engine_for(spark, sf_dir)
+        out = eng.search("du*", k=30)
+        return out.withColumn("score", F.round("score", 4))
+
+    q["bm25_prefix"] = bm25_prefix
+
+    def bm25_phrase(spark, sf_dir):
+        eng = _engine_for(spark, sf_dir)
+        return eng.search('"table hash"', k=15).withColumn("score", F.round("score", 4))
+
+    q["bm25_phrase"] = bm25_phrase
+
+    # ---------------- relational filters / sorts / counts (§2.2-§2.6) -------
+    def rel_date_page(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        return (
+            e.where(
+                F.col("ts").between(
+                    F.lit("2024-01-05").cast("timestamp"),
+                    F.lit("2024-01-20").cast("timestamp"),
+                )
+            )
+            .orderBy(F.desc("ts"), F.asc("event_id"))
+            .offset(50)
+            .limit(25)
+            .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        )
+
+    q["rel_date_page"] = rel_date_page
+
+    def rel_like(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        return (
+            e.where(F.lower(F.col("event_type")).contains("ur"))
+            .select("event_id", "event_type")
+            .orderBy("event_id")
+            .limit(100)
+        )
+
+    q["rel_like"] = rel_like
+
+    def rel_or_filter(spark, sf_dir):
+        from emailindexer_spark.operators.filters import or_filters
+
+        e = _events(spark, sf_dir)
+        p = or_filters(F.col("event_type") == "error", F.col("value") > 195.0)
+        return e.where(p).select("event_id", "event_type", F.round("value", 4).alias("value")).orderBy("event_id").limit(200)
+
+    q["rel_or_filter"] = rel_or_filter
+
+    def rel_count_by_type(spark, sf_dir):
+        return (
+            _events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("event_type")
+        )
+
+    q["rel_count_by_type"] = rel_count_by_type
+
+    def rel_count_distinct_users(spark, sf_dir):
+        return (
+            _events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .orderBy("event_type")
+        )
+
+    q["rel_count_distinct_users"] = rel_count_distinct_users
+
+    def rel_group_max_order(spark, sf_dir):
+        return (
+            _events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(
+                F.unix_micros(F.max("ts").cast("timestamp")).alias("max_ts_us"),
+                F.count("*").alias("n"),
+            )
+            .orderBy(F.desc("max_ts_us"), F.asc("user_id"))
+            .limit(20)
+        )
+
+    q["rel_group_max_order"] = rel_group_max_order
+
+    def rel_semi_join(spark, sf_dir):
+        c = _tbl(spark, sf_dir, "customer")
+        o = _tbl(spark, sf_dir, "orders")
+        return (
+            c.join(o.select("o_custkey").distinct(), c.c_custkey == F.col("o_custkey"), "left_semi")
+            .select("c_custkey", "c_mktsegment")
+            .orderBy("c_custkey")
+            .limit(200)
+        )
+
+    q["rel_semi_join"] = rel_semi_join
+
+    def rel_anti_join(spark, sf_dir):
+        c = _tbl(spark, sf_dir, "customer")
+        o = _tbl(spark, sf_dir, "orders")
+        return (
+            c.join(o.select("o_custkey").distinct(), c.c_custkey == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey")
+            .limit(200)
+        )
+
+    q["rel_anti_join"] = rel_anti_join
+
+    def rel_roots(spark, sf_dir):
+        t = derived_transcripts(spark, sf_dir)
+        return (
+            t.where(F.col("turn_idx") == 0)
+            .select("conv_id", "turn_idx", "text")
+            .orderBy("conv_id")
+            .limit(50)
+        )
+
+    q["rel_roots"] = rel_roots
+
+    def rel_thread_sizes(spark, sf_dir):
+        t = derived_transcripts(spark, sf_dir)
+        return (
+            t.groupBy("conv_id")
+            .agg(F.count("*").alias("thread_size"))
+            .orderBy(F.desc("thread_size"), F.asc("conv_id"))
+            .limit(30)
+        )
+
+    q["rel_thread_sizes"] = rel_thread_sizes
+
+    # ---------------- aggregation joins (TPC-H-style, §2.3/§2.4) ------------
+    def tpch_pricing_summary(spark, sf_dir):
+        li = _tbl(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["tpch_pricing_summary"] = tpch_pricing_summary
+
+    def tpch_top_revenue_orders(spark, sf_dir):
+        c = _tbl(spark, sf_dir, "customer")
+        o = _tbl(spark, sf_dir, "orders")
+        li = _tbl(spark, sf_dir, "lineitem")
+        return (
+            c.where(F.col("c_mktsegment") == "BUILDING")
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("l_orderkey") == o.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+            .orderBy(F.desc("_rev"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", F.round("_rev", 2).alias("revenue"))
+        )
+
+    q["tpch_top_revenue_orders"] = tpch_top_revenue_orders
+
+    # ---------------- dedup suite ------------------------------------------
+    def dedup_exact(spark, sf_dir):
+        dd = _docs_with_planted_dups(spark, sf_dir)
+        return (
+            D.exact_duplicate_groups(dd)
+            .select("keep_id", "n_dups")
+            .orderBy("keep_id")
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_fingerprint(spark, sf_dir):
+        dd = _docs_with_planted_dups(spark, sf_dir)
+        return (
+            dd.select("doc_id", Q.fingerprint(F.col("text")).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_id"))
+            .where(F.col("n") > 1)
+            .orderBy("keep_id")
+        )
+
+    q["dedup_fingerprint"] = dedup_fingerprint
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        dd = _docs_with_planted_dups(spark, sf_dir)
+        return D.minhash_lsh_pairs(dd, n_hashes=16, bands=4).orderBy("id_a", "id_b")
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_jaccard(spark, sf_dir):
+        dd = _docs_with_planted_dups(spark, sf_dir)
+        return (
+            D.ngram_jaccard_pairs(dd, threshold=0.8)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("id_a", "id_b")
+        )
+
+    q["dedup_jaccard"] = dedup_jaccard
+
+    def dedup_simhash16(spark, sf_dir):
+        dd = _docs_with_planted_dups(spark, sf_dir)
+        words = dd.select(
+            "doc_id", F.explode(F.split(normalized(F.col("text")), " ")).alias("w")
+        )
+        wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        h = md5_int32(F.col("w"))
+        aggs = []
+        for j in range(16):
+            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
+            aggs.append(F.sum(F.col("c") * (bit * 2 - 1)).alias(f"v{j}"))
+        v = wc.groupBy("doc_id").agg(*aggs)
+        sim = F.lit(0)
+        for j in range(16):
+            sim = sim + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return v.select("doc_id", sim.cast("long").alias("simhash16")).orderBy("doc_id")
+
+    q["dedup_simhash16"] = dedup_simhash16
+
+    # ---------------- embedding similarity ---------------------------------
+    def _query_vec(spark, sf_dir):
+        row = (
+            _tbl(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .first()
+        )
+        return [float(x) for x in row["v"]]
+
+    def embed_cosine_topk(spark, sf_dir):
+        e = _tbl(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qv = _query_vec(spark, sf_dir)
+        out = S.cosine_topk_brute(e, qv, k=20)
+        return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+    q["embed_cosine_topk"] = embed_cosine_topk
+
+    def embed_neardup_brute(spark, sf_dir):
+        e = _tbl(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+        a, b = e.alias("a"), e.alias("b")
+        from emailindexer_spark.operators.similarity import _dot, _norm
+
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                (_dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cosine"),
+            )
+            .where(F.col("cosine") >= 0.45)
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+            .orderBy("id_a", "id_b")
+        )
+
+    q["embed_neardup_brute"] = embed_neardup_brute
+
+    def embed_ann_lsh(spark, sf_dir):
+        # approximate path (LSH-bucketed) — no SQL oracle by design;
+        # recall vs brute is asserted in tests/test_textproc.py
+        e = _tbl(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qv = _query_vec(spark, sf_dir)
+        return S.ann_topk_lsh(e, qv, k=10, n_planes=8, multiprobe=1).select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["embed_ann_lsh"] = embed_ann_lsh
+
+    # ---------------- text quality / analysis ------------------------------
+    def quality_profile(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        c = F.col("text")
+        return d.select(
+            "doc_id",
+            Q.whitespace_token_count(c).alias("n_tokens"),
+            Q.bpe_ish_token_count(c).alias("n_bpe_tokens"),
+            F.round(Q.punct_ratio(c), 4).alias("punct_ratio"),
+            F.round(Q.stopword_ratio(c, "en"), 4).alias("stopword_ratio_en"),
+            F.round(Q.mean_word_len(c), 4).alias("mean_word_len"),
+            F.round(Q.quality_score(c), 4).alias("quality"),
+            Q.fingerprint(c).alias("fingerprint"),
+        ).orderBy("doc_id")
+
+    q["quality_profile"] = quality_profile
+
+    def lang_id_counts(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return (
+            d.select(Q.lang_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_pred")
+            .agg(F.count("*").alias("n"))
+            .orderBy("lang_pred")
+        )
+
+    q["lang_id_counts"] = lang_id_counts
+
+    def token_counts_by_source(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return (
+            d.groupBy("source")
+            .agg(
+                F.sum(Q.whitespace_token_count(F.col("text"))).alias("total_tokens"),
+                F.sum(Q.bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
+            )
+            .orderBy("source")
+        )
+
+    q["token_counts_by_source"] = token_counts_by_source
+
+    def quality_filter(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return (
+            d.where(Q.quality_score(F.col("text")) >= 0.7)
+            .select("doc_id", F.round(Q.quality_score(F.col("text")), 4).alias("quality"))
+            .orderBy("doc_id")
+            .limit(200)
+        )
+
+    q["quality_filter"] = quality_filter
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    # ---------------- BM25 family ----------------
+    o["bm25_term_rare"] = _bm25_sql(["dup"], 10)
+    o["bm25_term_heavy"] = _bm25_sql(["batch"], 15)
+    o["bm25_or"] = _bm25_sql(["dup", "spark", "window"], 20)
+    o["bm25_or_wand"] = _bm25_sql(["dup", "vector", "merge"], 20)
+    o["bm25_and"] = _bm25_sql(["spark", "window"], 10, musts=["spark", "window"])
+    o["bm25_must_should"] = _bm25_sql(["dup", "batch"], 10, musts=["dup"])
+    o["bm25_not"] = _bm25_sql(["dup"], 10, nots=["window"])
+    o["bm25_absent"] = _bm25_sql(["zzzzmissing", "dup"], 10)
+    o["bm25_conversations"] = _bm25_sql(["dup", "spark"], 10, mode="conversations")
+
+    o["bm25_prefix"] = f"""{_BM25_PRELUDE},
+pdocs AS (SELECT DISTINCT doc_id FROM tokens WHERE term LIKE 'du%')
+SELECT CAST(row_number() OVER (ORDER BY p.doc_id) AS INT) AS rank,
+       dd.doc_id, dd.conv_id, dd.turn_idx, CAST(1.0 AS DOUBLE) AS score
+FROM pdocs p JOIN docs dd USING (doc_id)
+ORDER BY p.doc_id LIMIT 30"""
+
+    o["bm25_phrase"] = f"""{_BM25_PRELUDE},
+toked AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM docs),
+posx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS p
+  FROM toked WHERE len(toks) >= 2
+),
+ph AS (
+  SELECT doc_id, count(*) AS freq FROM posx
+  WHERE toks[p] = 'table' AND toks[p+1] = 'hash' GROUP BY doc_id
+),
+phidf AS (
+  SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM dfreq d CROSS JOIN stats s WHERE d.term IN ('table', 'hash')
+),
+phs AS (
+  SELECT ph.doc_id,
+         phidf.idf * ph.freq / (ph.freq + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) AS score
+  FROM ph CROSS JOIN phidf CROSS JOIN stats s JOIN dl q ON q.doc_id = ph.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY phs.score DESC, dd.doc_id) AS INT) AS rank,
+       dd.doc_id, dd.conv_id, dd.turn_idx, round(phs.score, 4) AS score
+FROM phs JOIN docs dd USING (doc_id)
+ORDER BY phs.score DESC, dd.doc_id LIMIT 15"""
+
+    # ---------------- relational ----------------
+    o["rel_date_page"] = """
+SELECT event_id, user_id, event_type, round(value, 4) AS value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-20'
+ORDER BY ts DESC, event_id ASC
+LIMIT 25 OFFSET 50"""
+
+    o["rel_like"] = """
+SELECT event_id, event_type FROM events
+WHERE lower(event_type) LIKE '%ur%'
+ORDER BY event_id LIMIT 100"""
+
+    o["rel_or_filter"] = """
+SELECT event_id, event_type, round(value, 4) AS value FROM events
+WHERE event_type = 'error' OR value > 195.0
+ORDER BY event_id LIMIT 200"""
+
+    o["rel_count_by_type"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+    o["rel_count_distinct_users"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+    o["rel_group_max_order"] = """
+SELECT user_id, CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+ORDER BY max_ts_us DESC, user_id ASC LIMIT 20"""
+
+    o["rel_semi_join"] = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey LIMIT 200"""
+
+    o["rel_anti_join"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey LIMIT 200"""
+
+    o["rel_roots"] = f"""{SQL_TRANSCRIPTS_PRELUDE}
+SELECT conv_id, turn_idx, text FROM transcripts
+WHERE turn_idx = 0 ORDER BY conv_id LIMIT 50"""
+
+    o["rel_thread_sizes"] = f"""{SQL_TRANSCRIPTS_PRELUDE}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS thread_size
+FROM transcripts GROUP BY conv_id
+ORDER BY thread_size DESC, conv_id ASC LIMIT 30"""
+
+    # ---------------- TPC-H style ----------------
+    o["tpch_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+    o["tpch_top_revenue_orders"] = """
+SELECT o_orderkey,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10"""
+
+    # ---------------- dedup ----------------
+    o["dedup_exact"] = f"""
+WITH {_SQL_DUP_DOCS},
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM dup_docs
+)
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM norm GROUP BY t HAVING count(*) > 1 ORDER BY keep_id"""
+
+    o["dedup_fingerprint"] = f"""
+WITH {_SQL_DUP_DOCS},
+fp AS (
+  SELECT doc_id, substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+  FROM dup_docs
+)
+SELECT fp, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
+FROM fp GROUP BY fp HAVING count(*) > 1 ORDER BY keep_id"""
+
+    _sql_shingles = """
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(words) >= 3
+                THEN list_transform(generate_series(1, len(words) - 2),
+                                    i -> array_to_string(words[i:i+2], ' '))
+                ELSE [array_to_string(words, ' ')] END
+         ) AS shingles
+  FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+    FROM dup_docs
+  )
+)"""
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{i}:' || x)))" for i in range(16)
+    )
+    o["dedup_minhash_lsh"] = f"""
+WITH {_SQL_DUP_DOCS},{_sql_shingles},
+sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_bands
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY id_a, id_b"""
+
+    o["dedup_jaccard"] = f"""
+WITH {_SQL_DUP_DOCS},{_sql_shingles},
+ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT id, count(*) AS sz FROM ex GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b USING (s) WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+ORDER BY id_a, id_b"""
+
+    bit_terms = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+    )
+    v_items = ", ".join(
+        f"sum(c * (((h >> {j}) & 1) * 2 - 1)) AS v{j}" for j in range(16)
+    )
+    o["dedup_simhash16"] = f"""
+WITH {_SQL_DUP_DOCS},
+words AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM dup_docs
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS c,
+         CAST(CONCAT('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h
+  FROM words GROUP BY doc_id, w
+),
+v AS (SELECT doc_id, {v_items} FROM wc GROUP BY doc_id)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash16 FROM v ORDER BY doc_id"""
+
+    # ---------------- embeddings ----------------
+    _cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    o["embed_cosine_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0)
+SELECT a.vec_id, round({_cos.replace('b.v', 'q.v')}, 4) AS cosine
+FROM e a CROSS JOIN q
+ORDER BY {_cos.replace('b.v', 'q.v')} DESC, a.vec_id ASC LIMIT 20"""
+
+    o["embed_neardup_brute"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_cos}, 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cos} >= 0.45
+ORDER BY id_a, id_b"""
+
+    # embed_ann_lsh: intentionally no oracle (approximate operator) —
+    # driver records the weaker rows-only check; recall asserted in tests.
+
+    # ---------------- quality ----------------
+    _punct = "CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END"
+    _mwl = f"CASE WHEN len({_SQL_WORDS}) > 0 THEN CAST(list_sum(list_transform({_SQL_WORDS}, x -> len(x))) AS DOUBLE) / len({_SQL_WORDS}) ELSE 0.0 END"
+    _swr = _sql_stop_ratio(_SQL_WORDS, _SQL_STOPWORDS_EN)
+    _nbpe = "len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))"
+    _qual = (
+        f"(least(CAST({_SQL_NTOK} AS DOUBLE) / 50.0, 1.0) * (CASE WHEN {_SQL_NTOK} <= 10000 THEN 1.0 ELSE 0.5 END)"
+        f" + (1.0 - least(({_punct}) * 4, 1.0))"
+        f" + (CASE WHEN ({_mwl}) >= 3 AND ({_mwl}) <= 10 THEN 1.0 ELSE 0.3 END)"
+        f" + least(({_swr}) * 5, 1.0)) / 4"
+    )
+    o["quality_profile"] = f"""
+SELECT doc_id,
+       CAST({_SQL_NTOK} AS INT) AS n_tokens,
+       CAST({_nbpe} AS INT) AS n_bpe_tokens,
+       round({_punct}, 4) AS punct_ratio,
+       round({_swr}, 4) AS stopword_ratio_en,
+       round({_mwl}, 4) AS mean_word_len,
+       round({_qual}, 4) AS quality,
+       substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM documents ORDER BY doc_id"""
+
+    _langs = {
+        "en": _SQL_STOPWORDS_EN,
+        "es": "['el','la','de','que','y','en','un','por','con','los']",
+        "de": "['der','die','und','das','ist','nicht','ein','mit','auf','zu']",
+        "fr": "['le','la','et','les','des','est','un','une','dans','que']",
+    }
+    ratios = {k: _sql_stop_ratio(_SQL_WORDS, v) for k, v in _langs.items()}
+    # same strict-> comparison order as operators/quality.py lang_id
+    lang_case = f"""CASE
+      WHEN ({ratios['fr']}) > ({ratios['de']}) AND ({ratios['fr']}) > ({ratios['es']}) AND ({ratios['fr']}) > ({ratios['en']}) AND ({ratios['fr']}) > 0 THEN 'fr'
+      WHEN ({ratios['de']}) > ({ratios['es']}) AND ({ratios['de']}) > ({ratios['en']}) AND ({ratios['de']}) > 0 THEN 'de'
+      WHEN ({ratios['es']}) > ({ratios['en']}) AND ({ratios['es']}) > 0 THEN 'es'
+      WHEN ({ratios['en']}) > 0 THEN 'en'
+      ELSE 'und' END"""
+    o["lang_id_counts"] = f"""
+SELECT {lang_case} AS lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1 ORDER BY lang_pred"""
+
+    o["token_counts_by_source"] = f"""
+SELECT source,
+       CAST(sum({_SQL_NTOK}) AS BIGINT) AS total_tokens,
+       CAST(sum({_nbpe}) AS BIGINT) AS total_bpe_tokens
+FROM documents GROUP BY source ORDER BY source"""
+
+    o["quality_filter"] = f"""
+SELECT doc_id, round({_qual}, 4) AS quality
+FROM documents WHERE ({_qual}) >= 0.7
+ORDER BY doc_id LIMIT 200"""
+
+    return o

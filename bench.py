@@ -1,0 +1,199 @@
+"""Benchmark harness (driver-run; prints ONE JSON line).
+
+Measures, at ``$SPARK_GRAFT_SF_DIR`` scale (default /root/testdata/sf0.1
+→ 600k synthetic transcript turns, FIXTURES.md scale points):
+
+* index-build throughput (turns/sec) at ``local[$SPARK_GRAFT_CPUS]``,
+* per-query latency for the headline query suite (term/OR/AND/phrase/
+  prefix/WAND/conversation-collapse),
+* the BASELINE.md two-parallelism scaling protocol: the same build at
+  ``local[N]`` and ``local[4N]`` on the same input; efficiency =
+  (T_N / T_4N) / 4 (1.0 = perfect scaling; target ≥ 0.8).
+
+The transcripts corpus is synthesized deterministically (seed 42,
+sources/fixtures.py) and cached as parquet under .cache/ — sized by the
+sf of the input dir so the driver's sf knob controls scale.  Results are
+also appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+CACHE = os.path.join(REPO, ".cache")
+
+BENCH_QUERIES: list[tuple[str, str, int, str, bool | None]] = [
+    # (name, query, k, mode, use_wand)
+    ("term_rare", "__RARE__", 10, "turns", False),
+    ("term_heavy", "__HEAVY__", 10, "turns", False),
+    ("or3_exhaustive", "__OR3__", 10, "turns", False),
+    ("or3_wand", "__OR3__", 10, "turns", True),
+    ("and2", "__AND__", 10, "turns", None),
+    ("not", "__NOT__", 10, "turns", None),
+    ("prefix", "__PRE__", 10, "turns", None),
+    ("phrase", "__PHRASE__", 10, "turns", None),
+    ("conversations", "__OR3__", 10, "conversations", None),
+]
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+
+
+def corpus_path(n_turns: int) -> str:
+    os.makedirs(CACHE, exist_ok=True)
+    p = os.path.join(CACHE, f"transcripts_{n_turns}.parquet")
+    if not os.path.exists(p):
+        from emailindexer_spark.sources.fixtures import make_transcripts
+
+        make_transcripts(n_turns, seed=42).to_parquet(p, index=False)
+    return p
+
+
+def pick_terms(pq_path: str) -> dict[str, str]:
+    """Deterministic term picks from the corpus head (rare/mid/heavy)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from emailindexer_spark.functions.tokenizer import tokenize
+
+    head = pd.read_parquet(pq_path, columns=["text"]).head(20000)["text"]
+    cnt: Counter[str] = Counter()
+    for t in head:
+        cnt.update(set(tokenize(t)))
+    by_df = cnt.most_common()
+    heavy = by_df[0][0]
+    mid = by_df[len(by_df) // 4][0]
+    rare = next(t for t, c in reversed(by_df) if c >= 3)
+    return {
+        "__RARE__": rare,
+        "__HEAVY__": heavy,
+        "__OR3__": f"{rare} {mid} {heavy}",
+        "__AND__": f"{mid} AND {heavy}",
+        "__NOT__": f"{heavy} -{mid}",
+        "__PRE__": f"{mid[:2]}*",
+        "__PHRASE__": f'"{heavy} {mid}"',
+    }
+
+
+def build_once(master: str, pq_path: str, out_dir: str, shuffle: int) -> float:
+    """One full index build in a fresh Spark session; returns wall sec."""
+    from emailindexer_spark import get_spark
+    from emailindexer_spark.plans.builder import IndexBuilder
+
+    spark = get_spark(app_name=f"bench-{master}", master=master, shuffle_partitions=shuffle)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(pq_path)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        IndexBuilder(
+            spark,
+            out_dir,
+            num_parts=32,
+            heavy_df_threshold=100_000,
+            split_target=50_000,
+        ).build(df)
+        return time.time() - t0
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf = sf_of(SF_DIR)
+    n_turns = max(1000, int(6_000_000 * sf))
+    pq = corpus_path(n_turns)
+    subs = pick_terms(pq)
+
+    ix_dir = os.path.join(CACHE, f"bench_ix_{n_turns}")
+    t_large = build_once(f"local[{CPUS}]", pq, ix_dir, shuffle=max(CPUS, 32))
+
+    # query timings on the just-built index
+    from emailindexer_spark import get_spark
+    from emailindexer_spark.plans.planner import SearchEngine
+
+    spark = get_spark(app_name="bench-query", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    qsec: dict[str, float] = {}
+    eng = SearchEngine(spark, ix_dir)
+    for name, q, k, mode, wand in BENCH_QUERIES:
+        for pat, sub in subs.items():
+            q = q.replace(pat, sub)
+        eng.search(q, k=k, mode=mode, use_wand=wand).collect()  # warm
+        t0 = time.time()
+        eng.search(q, k=k, mode=mode, use_wand=wand).collect()
+        qsec[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    scaling = {}
+    if not SKIP_SCALING:
+        n_small = max(1, CPUS // 4)
+        t_small = build_once(
+            f"local[{n_small}]", pq, os.path.join(CACHE, f"bench_ix_small_{n_turns}"), shuffle=max(CPUS, 32)
+        )
+        eff = (t_small / t_large) / 4 if t_large > 0 else 0.0
+        scaling = {
+            "n_small": n_small,
+            "n_large": CPUS,
+            "build_sec_small": round(t_small, 2),
+            "build_sec_large": round(t_large, 2),
+            "turns_per_sec_small": round(n_turns / t_small, 1),
+            "turns_per_sec_large": round(n_turns / t_large, 1),
+            "efficiency": round(eff, 3),
+        }
+        _write_baseline_md(sf, n_turns, t_large, qsec, scaling)
+
+    out = {
+        "metric": "index_build_plus_query_suite",
+        "value": round(t_large + sum(qsec.values()), 3),
+        "unit": "sec",
+        "queries": qsec,
+        "sf": sf,
+        "build": {
+            "n_turns": n_turns,
+            "build_sec": round(t_large, 2),
+            "turns_per_sec": round(n_turns / t_large, 1),
+            "cpus": CPUS,
+        },
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+def _write_baseline_md(sf, n_turns, t_large, qsec, scaling) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    p = os.path.join(REPO, "BENCH", "BASELINE.md")
+    lines = [
+        "# BENCH — measured numbers (latest run)",
+        "",
+        f"- corpus: {n_turns} synthetic transcript turns (sf={sf}, seed 42)",
+        f"- build at local[{scaling['n_large']}]: {scaling['build_sec_large']} s "
+        f"({scaling['turns_per_sec_large']} turns/s)",
+        f"- build at local[{scaling['n_small']}]: {scaling['build_sec_small']} s "
+        f"({scaling['turns_per_sec_small']} turns/s)",
+        f"- scaling efficiency (T_N/T_4N)/4, N={scaling['n_small']}: "
+        f"**{scaling['efficiency']}** (target ≥ 0.8)",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in qsec.items()]
+    lines.append("")
+    with open(p, "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Beyond the reference's ingest dedup (S4, DatabaseGenerator.java:43-55 —
+exact MESSAGE_ID match), a 100 TB training-data pipeline needs content
+dedup.  All hashes here are md5-derived so the DuckDB oracle can compute
+bit-identical values (md5 exists in both engines; no Spark-private hash
+functions in any correctness-checked path).
+
+* exact duplicates — hash-groupBy on normalized text (one shuffle),
+* word-shingle MinHash signatures + banded LSH candidate pairs
+  (shingle → minhash → band → bucket self-join; band join is the only
+  shuffle and scales by bucket, not by n²),
+* SimHash (64-bit, tf-weighted; vectorized numpy UDF) with hamming
+  near-dup pairs,
+* exact n-gram Jaccard for verification of LSH candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_int32(col: Column) -> Column:
+    """First 8 hex digits of md5 as an int — same value as python
+    ``int(hashlib.md5(s).hexdigest()[:8], 16)`` and DuckDB
+    ``CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def normalized(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: groups of ids sharing identical normalized text."""
+    return (
+        df.withColumn("_norm", normalized(F.col(text_col)))
+        .groupBy("_norm")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_dups") > 1)
+        .drop("_norm")
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (array<string>)."""
+    words = F.split(normalized(col), " ")
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_signature(col: Column, n_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature (array<string>, length n_hashes): per seed i the
+    lexicographic min over shingles of md5(i || ':' || shingle).
+
+    String-min instead of int-min so the DuckDB oracle computes the
+    identical signature (md5 hex + min(varchar) behave the same in both
+    engines; permutation quality is unchanged)."""
+    sh = word_shingles(col, shingle_n)
+
+    def seeded(i: int):
+        # NB: a 2-parameter lambda (e.g. `lambda x, i=i`) would make
+        # F.transform pass the ARRAY INDEX as the second arg, silently
+        # clobbering the seed — close over it instead.
+        prefix = f"{i}:"
+        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
+    sigs = [F.array_min(F.transform(sh, seeded(i))) for i in range(n_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: ids whose signatures agree on ≥1 full
+    band.  rows_per_band = n_hashes // bands; collision probability per
+    band = sim^rows_per_band.  Output: (id_a, id_b, n_bands) with
+    id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over all candidate pairs that
+    share ≥1 shingle (explode + self-join on shingle; |A∩B| by count,
+    |A∪B| = |A|+|B|−|A∩B|).  Quadratic only within shingle buckets."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- simhash
+
+def _simhash_batch(texts: pd.Series, bits: int = 64) -> pd.Series:
+    """Vectorized 64-bit tf-weighted SimHash (numpy; md5-based token
+    hashes for determinism across engines)."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        words = t.lower().split()
+        if not words:
+            continue
+        uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
+        hs = np.array(
+            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in uniq],
+            dtype=np.uint64,
+        )
+        bitmat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        v = ((bitmat * 2 - 1) * counts[:, None]).sum(axis=0)
+        sig = np.uint64(0)
+        for j in range(bits):
+            if v[j] > 0:
+                sig |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    # single-parameter wrapper: pandas_udf rejects extra defaulted params
+    sim = F.pandas_udf(lambda texts: _simhash_batch(texts, 64), "long")
+    return df.select(F.col(id_col).alias("id"), sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
+    chunks: two 64-bit hashes within hamming ≤3 agree exactly on ≥1 of 4
+    chunks (pigeonhole) — the self-join is per chunk bucket, not n²."""
+    sigs = simhash(df, text_col, id_col)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for c in range(4)
+        ]
+    )
+    chunks = sigs.select("id", "simhash", F.explode(chunk_structs).alias("cc")).select(
+        "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

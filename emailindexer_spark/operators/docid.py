@@ -102,7 +102,13 @@ def assign_doc_ids(
         offsets = offsets.localCheckpoint(eager=True)
     finally:
         parted.unpersist(blocking=False)
+    # rank within the conversation rather than trusting turn_idx to be
+    # dense from 0: identical for dense input, and correct for partial
+    # conversations (e.g. a streaming batch holding turns 5..9).  The
+    # window shuffles per conv_id — no global single-task sort.
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
     out = df.join(offsets, "conv_id").withColumn(
-        "doc_id", (F.col("conv_offset") + F.col("turn_idx")).cast("long")
+        "doc_id",
+        (F.col("conv_offset") + F.row_number().over(w) - 1).cast("long"),
     )
     return out.drop("conv_offset")

@@ -54,10 +54,13 @@ class OracleIndex:
 
 
 def build_oracle_index(
-    rows: list[tuple[str, int, str]], simple: bool = False
+    rows: list[tuple[str, int, str]], simple: bool = False, sort: bool = True
 ) -> OracleIndex:
-    """rows: (conv_id, turn_idx, text); docID = rank in sorted order."""
-    rows = sorted(rows, key=lambda r: (r[0], r[1]))
+    """rows: (conv_id, turn_idx, text); docID = rank in sorted order.
+    ``sort=False`` keeps the given order (streaming-append semantics:
+    docID = insertion order, like Lucene)."""
+    if sort:
+        rows = sorted(rows, key=lambda r: (r[0], r[1]))
     postings: dict[str, dict[int, int]] = {}
     positions: dict[str, dict[int, list[int]]] = {}
     norm_dl: list[int] = []

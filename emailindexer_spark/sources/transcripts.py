@@ -1,0 +1,57 @@
+"""Transcript table loading/derivation.
+
+``load_transcripts`` reads a real transcripts table (input_hint shape).
+``derived_transcripts`` deterministically derives a transcripts table
+from the sandbox ``documents`` parquet (each document becomes one turn;
+conversations are doc_id mod N_CONV) — the same derivation is expressed
+in ANSI SQL by the DuckDB oracles in ``__spark_entry__``, so the two
+engines see bit-identical inputs.  Keep the two definitions in lock-step.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_CONV = 128
+
+#: SQL prelude mirroring derived_transcripts + docID assignment — prefix
+#: for every transcript-based DuckDB oracle query.
+SQL_TRANSCRIPTS_PRELUDE = f"""
+WITH transcripts AS (
+  SELECT 'c' || lpad(CAST(doc_id % {N_CONV} AS VARCHAR), 4, '0') AS conv_id,
+         CAST(row_number() OVER (PARTITION BY (doc_id % {N_CONV}) ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text
+  FROM documents
+),
+docs AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, turn_idx, text
+  FROM transcripts
+)"""
+
+
+def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Read a materialized transcripts table (parquet dir or file)."""
+    return spark.read.parquet(path)
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → transcripts(conv_id, turn_idx, role, text,
+    tool, ts) — MUST stay identical to SQL_TRANSCRIPTS_PRELUDE."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    grp = F.pmod(F.col("doc_id"), F.lit(N_CONV))
+    w = Window.partitionBy(grp).orderBy("doc_id")
+    return docs.select(
+        F.concat(F.lit("c"), F.lpad(grp.cast("string"), 4, "0")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("ts"),
+    )

@@ -44,6 +44,18 @@ def test_dense_zero_based(spark, small):
     assert agg["mn"] == 0 and agg["mx"] == n - 1 and agg["d"] == n
 
 
+def test_partial_conversations_no_collisions(spark):
+    # a streaming batch may hold only turns 5..9 of a conversation;
+    # doc_ids must stay dense and unique (rank within conv, not turn_idx)
+    rows = [("c1", i, "x") for i in range(5, 10)] + [("c2", i, "y") for i in range(3)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    d = assign_doc_ids(df, method="two_phase")
+    ids = sorted(r["doc_id"] for r in d.collect())
+    assert ids == list(range(8))
+    got = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in d.collect()}
+    assert got[("c1", 5)] == 0 and got[("c1", 9)] == 4 and got[("c2", 0)] == 5
+
+
 def test_validate_rejects_sparse_turns(spark):
     bad = spark.createDataFrame(
         [("c1", 0, "x"), ("c1", 2, "y")], "conv_id string, turn_idx int, text string"

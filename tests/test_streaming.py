@@ -1,0 +1,78 @@
+"""Incremental / Structured Streaming ingest: appended batches integrate
+with the read path and match an oracle built in insertion order."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from emailindexer_spark.oracle import build_oracle_index, search as osearch
+from emailindexer_spark.plans.builder import IndexBuilder
+from emailindexer_spark.plans.planner import SearchEngine
+from emailindexer_spark.sources.fixtures import make_transcripts
+from emailindexer_spark.streaming.ingest import incremental_append, stream_ingest
+
+
+@pytest.fixture(scope="module")
+def corpus3(corpus_pdf):
+    """Corpus cut into base + two append batches (whole conversations)."""
+    convs = corpus_pdf["conv_id"].unique()
+    c1, c2 = convs[: len(convs) // 2], convs[len(convs) // 2 : 3 * len(convs) // 4]
+    base = corpus_pdf[corpus_pdf.conv_id.isin(set(c1))]
+    b1 = corpus_pdf[corpus_pdf.conv_id.isin(set(c2))]
+    b2 = corpus_pdf[~corpus_pdf.conv_id.isin(set(c1) | set(c2))]
+    return base, b1, b2
+
+
+@pytest.mark.slow
+def test_incremental_append_matches_oracle(spark, corpus3):
+    base, b1, b2 = corpus3
+    d = tempfile.mkdtemp(prefix="ix_stream_")
+    try:
+        IndexBuilder(spark, d, num_parts=8, heavy_df_threshold=500, split_target=400).build(
+            spark.createDataFrame(base)
+        )
+        incremental_append(spark, d, spark.createDataFrame(b1))
+        incremental_append(spark, d, spark.createDataFrame(b2))
+        eng = SearchEngine(spark, d)
+        assert eng.n_rows == len(base) + len(b1) + len(b2)
+        # oracle in the engine's insertion order: each chunk sorted, chained
+        rows = []
+        for chunk in (base, b1, b2):
+            rows += sorted(
+                chunk[["conv_id", "turn_idx", "text"]].itertuples(index=False, name=None)
+            )
+        ix = build_oracle_index(rows, sort=False)
+        for q, mode in [("qojema", "turns"), ("qojema fuhepi", "turns"), ("fuhepi", "conversations")]:
+            exp = osearch(ix, q, k=10, mode=mode)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in eng.search(q, k=10, mode=mode, use_wand=False).collect()
+            ]
+            assert [x[0] for x in got] == [x[0] for x in exp], (q, mode)
+            for (_, a), (_, b) in zip(got, exp):
+                assert abs(a - b) <= 1e-6 * max(1.0, abs(b))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_ingest_available_now(spark, corpus3):
+    base, b1, _ = corpus3
+    d = tempfile.mkdtemp(prefix="ix_streamq_")
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        IndexBuilder(spark, d, num_parts=8, heavy_df_threshold=500, split_target=400).build(
+            spark.createDataFrame(base)
+        )
+        spark.createDataFrame(b1).write.mode("overwrite").parquet(os.path.join(src, "batch1"))
+        q = stream_ingest(spark, d, os.path.join(src, "batch1"), ckpt)
+        q.awaitTermination(120)
+        eng = SearchEngine(spark, d)
+        assert eng.n_rows == len(base) + len(b1)
+        assert eng.search("qojema", k=5).count() == 5
+    finally:
+        for p in (d, src, ckpt):
+            shutil.rmtree(p, ignore_errors=True)

@@ -1,0 +1,148 @@
+"""Dedup / similarity / quality / multimodal operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from emailindexer_spark.operators import dedup as D
+from emailindexer_spark.operators import multimodal as MM
+from emailindexer_spark.operators import quality as Q
+from emailindexer_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "completely different text about spark engines and indexes"),
+        (4, "THE  quick   Brown fox jumps over the lazy dog"),  # normalized dup
+        (5, "spark engines need shuffles and partitions and skew handling"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicate_groups(docs):
+    g = D.exact_duplicate_groups(docs).collect()
+    assert len(g) == 1
+    assert g[0]["ids"] == [0, 1, 4] and g[0]["keep_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    # rows_per_band=1 → collision prob per band = jaccard; 16 bands make
+    # a 0.4-similar pair collide w.p. 1-(1-0.4)^16 ≈ 0.9997
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in D.minhash_lsh_pairs(docs, n_hashes=16, bands=16).collect()
+    }
+    assert pairs.get((0, 1)) == 16 and pairs.get((0, 4)) == 16  # exact dups
+    assert (0, 2) in pairs  # near dup caught by some band
+    assert (0, 3) not in pairs and (0, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert rows[(0, 1)] == pytest.approx(1.0)
+    assert 0.2 < rows[(0, 2)] < 1.0
+    assert (0, 3) not in rows
+
+
+def test_simhash_hamming(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_near_pairs(docs, max_hamming=12).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs.get((0, 2), 99) <= 12
+    assert (0, 3) not in pairs or pairs[(0, 3)] > 12
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # two well-separated clusters + one planted near-dup pair (3, 7):
+    # clustered data is what ANN bucketing is for
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((2, 8)) * 4
+    base = np.vstack(
+        [centers[i % 2] + 0.3 * rng.standard_normal(8) for i in range(40)]
+    )
+    base[7] = base[3] + 0.01 * rng.standard_normal(8)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+
+def test_cosine_topk_brute(vecs):
+    q = [float(x) for x in vecs.where(F.col("vec_id") == 3).first()["embedding"]]
+    top = S.cosine_topk_brute(vecs, q, k=3).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["cosine"] == pytest.approx(1.0)
+    assert top[1]["vec_id"] == 7  # the planted near-dup
+
+
+def test_ann_lsh_recall_vs_brute(vecs):
+    # queries = perturbations of existing vectors (the realistic ANN
+    # workload); recall@3 across 5 queries must be high on clustered data
+    rng = np.random.default_rng(5)
+    rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    hits = 0
+    for qid in [0, 1, 10, 11, 20]:
+        q = [float(x + 0.05 * rng.standard_normal()) for x in rows[qid]]
+        brute = [r["vec_id"] for r in S.cosine_topk_brute(vecs, q, k=3).collect()]
+        ann = [r["vec_id"] for r in S.ann_topk_lsh(vecs, q, k=3, n_planes=6, multiprobe=1).collect()]
+        hits += len(set(brute) & set(ann))
+    assert hits >= 12  # ≥80% top-3 recall
+
+
+def test_embedding_near_dup_pairs(vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(vecs, threshold=0.95, n_planes=6).collect()}
+    assert (3, 7) in pairs
+
+
+def test_quality_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is a good day for all of us"),
+            (1, "!!! ??? ### $$$ %%%"),
+            (2, ""),
+            (3, "el la de que y en un por con los amigos"),
+        ],
+        "doc_id long, text string",
+    )
+    p = {r["doc_id"]: r for r in Q.profile(df).collect()}
+    assert p[0]["quality"] > p[1]["quality"]
+    assert p[0]["lang_pred"] == "en" and p[3]["lang_pred"] == "es"
+    assert p[2]["n_tokens"] == 0 and p[2]["lang_pred"] == "und"
+    assert p[0]["n_bpe_tokens"] >= p[0]["n_tokens"]
+    assert len(p[0]["fingerprint"]) == 16
+    assert p[0]["fingerprint"] != p[1]["fingerprint"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fps = [r[0] for r in df.select(Q.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_plumbing(spark):
+    media = MM.make_fake_media(spark, n=12)
+    feats = MM.extract_features(media, fake=True, dim=8).collect()
+    assert len(feats) == 12 and all(len(r["feature"]) == 8 for r in feats)
+    # determinism: same payload → same fake feature
+    again = MM.extract_features(media, fake=True, dim=8).collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+    frames = MM.sample_frames(media, every_ms=1000, fake=True)
+    fr = frames.collect()
+    assert fr and all(r["frame_idx"] >= 0 for r in fr)
+    vids = {r["media_id"] for r in media.where(F.col("kind") == "video").collect()}
+    assert {r["media_id"] for r in fr} == vids
+
+
+def test_multimodal_stub_raises_without_codec(spark):
+    media = MM.make_fake_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        MM.extract_features(media, fake=False).collect()
