@@ -40,7 +40,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # dense text compresses ~5-10x in parquet: the default 128 MB split
+        # makes a 100+ MB file scan (and everything map-side of it, e.g.
+        # tokenization) run on 1-2 tasks regardless of cores
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
+    # shuffle/spill to tmpfs when available: on this single node the disk
+    # is the one resource threads can't multiply; a real cluster gets its
+    # shuffle bandwidth from many nodes' disks instead
+    if os.path.isdir("/dev/shm") and os.environ.get("SPARK_GRAFT_SHM", "1") == "1":
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

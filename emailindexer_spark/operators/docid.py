@@ -57,9 +57,18 @@ def assign_doc_ids(
     df: DataFrame, method: str = "two_phase", num_partitions: int | None = None
 ) -> DataFrame:
     """Return df + ``doc_id`` (long), dense 0-based over (conv_id, turn_idx)."""
+    out, _total = assign_doc_ids_with_total(df, method, num_partitions)
+    return out
+
+
+def assign_doc_ids_with_total(
+    df: DataFrame, method: str = "two_phase", num_partitions: int | None = None
+) -> tuple[DataFrame, int | None]:
+    """Like assign_doc_ids, also returning the total row count when the
+    two-phase path computes it for free (None for the window path)."""
     if method == "window":
         w = Window.orderBy(*ORDER_COLS)
-        return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+        return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1), None
     if method != "two_phase":
         raise ValueError(method)
     spark = df.sparkSession
@@ -111,4 +120,4 @@ def assign_doc_ids(
         "doc_id",
         (F.col("conv_offset") + F.row_number().over(w) - 1).cast("long"),
     )
-    return out.drop("conv_offset")
+    return out.drop("conv_offset"), acc

@@ -38,6 +38,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import math
+import time
 from typing import Iterator
 
 import numpy as np
@@ -49,7 +50,10 @@ from emailindexer_spark.functions.codec import BLOCK_SIZE, encode_blocks
 from emailindexer_spark.functions.sanitize import remove_quoted_replies
 from emailindexer_spark.functions.smallfloat import encode_lengths
 from emailindexer_spark.functions.tokenizer import tokenize_series
-from emailindexer_spark.operators.docid import assign_doc_ids, validate_transcripts
+from emailindexer_spark.operators.docid import (
+    assign_doc_ids_with_total,
+    validate_transcripts,
+)
 from emailindexer_spark.sources.checkpoint import Manifest
 
 POSTINGS_SCHEMA = (
@@ -59,6 +63,19 @@ POSTINGS_SCHEMA = (
 )
 
 TF_SCHEMA = "doc_id long, term string, tf int, dl int, norm int"
+
+
+def ensure_parallelism(df: DataFrame, target: int) -> DataFrame:
+    """Floor a DataFrame's partition count.
+
+    The tokenize stage is map-side of whatever partitioning the scan
+    produced; a small-but-dense parquet input (text compresses ~10x)
+    otherwise serializes the most expensive stage of the build.  At real
+    cluster scale inputs arrive in thousands of splits and this is a
+    no-op."""
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def term_part_expr(term_col, num_parts: int):
@@ -110,38 +127,96 @@ def _tokenize_to_tf_rows(simple: bool):
     return gen
 
 
+def _encode_one(term: str, split_id: int, pdf: pd.DataFrame, block_size: int, num_parts: int) -> dict:
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(docs, kind="stable")
+    docs = docs[order]
+    eb = encode_blocks(
+        docs,
+        pdf["tf"].to_numpy(dtype=np.int64)[order],
+        pdf["norm"].to_numpy(dtype=np.int64)[order],
+        block_size=block_size,
+    )
+    return {
+        "term": term,
+        "split_id": split_id,
+        "part": term_part_py(term, num_parts),
+        "df_row": int(docs.size),
+        "first_doc": int(docs[0]),
+        "last_doc": int(docs[-1]),
+        "b_first": eb.first_doc.tolist(),
+        "b_last": eb.last_doc.tolist(),
+        "b_n": eb.n.tolist(),
+        "b_maxtf": eb.max_tf.tolist(),
+        "b_minnorm": eb.min_norm.tolist(),
+        "b_docs": eb.doc_bytes,
+        "b_tfs": eb.tf_bytes,
+        "b_norms": eb.norm_bytes,
+    }
+
+
 def _encode_group(block_size: int, num_parts: int):
-    """applyInPandas over one (term, split_id) group → one posting row."""
+    """applyInPandas over one (term, split_id) group → one posting row.
+    Kept for the incremental/streaming path, where batches are small."""
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
         term = pdf["term"].iat[0]
         split_id = int(pdf["split_id"].iat[0])
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        eb = encode_blocks(
-            docs,
-            pdf["tf"].to_numpy(dtype=np.int64),
-            pdf["norm"].to_numpy(dtype=np.int64),
-            block_size=block_size,
-        )
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "split_id": [split_id],
-                "part": [term_part_py(term, num_parts)],
-                "df_row": [docs.size],
-                "first_doc": [int(docs[0])],
-                "last_doc": [int(docs[-1])],
-                "b_first": [eb.first_doc.tolist()],
-                "b_last": [eb.last_doc.tolist()],
-                "b_n": [eb.n.tolist()],
-                "b_maxtf": [eb.max_tf.tolist()],
-                "b_minnorm": [eb.min_norm.tolist()],
-                "b_docs": [eb.doc_bytes],
-                "b_tfs": [eb.tf_bytes],
-                "b_norms": [eb.norm_bytes],
-            }
-        )
+        return pd.DataFrame([_encode_one(term, split_id, pdf, block_size, num_parts)])
+
+    return enc
+
+
+def _encode_runs(block_size: int, num_parts: int):
+    """mapInPandas over partitions hash-clustered by (term, split_id) and
+    sorted so each group is a contiguous run.
+
+    One Arrow stream per PARTITION instead of one pandas call per GROUP:
+    a vocabulary-scale build has 10^4..10^8 mostly-tiny groups, and the
+    per-group Arrow round-trip dominates applyInPandas; run detection via
+    a vectorized group-boundary scan removes that overhead.  Runs spanning
+    Arrow batch boundaries are carried over."""
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        out: list[dict] = []
+
+        def flush_complete(pdf: pd.DataFrame, last_incomplete: bool):
+            nonlocal carry
+            keys = pdf["term"].to_numpy()
+            splits = pdf["split_id"].to_numpy()
+            # boundaries where (term, split) changes
+            change = np.nonzero((keys[1:] != keys[:-1]) | (splits[1:] != splits[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            last = len(starts) - 1
+            for gi, (s, e) in enumerate(zip(starts, ends)):
+                if last_incomplete and gi == last:
+                    carry = pdf.iloc[s:e]
+                    return
+                out.append(
+                    _encode_one(keys[s], int(splits[s]), pdf.iloc[s:e], block_size, num_parts)
+                )
+            carry = None
+
+        for pdf in it:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            flush_complete(pdf, last_incomplete=True)
+            if out:
+                yield pd.DataFrame(out)
+                out = []
+        if carry is not None and len(carry):
+            out.append(
+                _encode_one(
+                    carry["term"].iat[0], int(carry["split_id"].iat[0]), carry, block_size, num_parts
+                )
+            )
+        if out:
+            yield pd.DataFrame(out)
 
     return enc
 
@@ -193,32 +268,56 @@ class IndexBuilder:
 
         # ---------------------------------------------------- doc_index
         if not man.is_complete("doc_index"):
-            df = transcripts
+            t0 = time.time()
+            df = ensure_parallelism(
+                transcripts,
+                max(self.num_parts, self.spark.sparkContext.defaultParallelism),
+            )
             if self.validate:
                 validate_transcripts(df)
             if self.sanitize:
                 clean = F.pandas_udf(remove_quoted_replies, "string")
                 df = df.withColumn("text", clean(F.col("text")))
-            df = assign_doc_ids(df, method=self.docid_method)
+            df, n_total = assign_doc_ids_with_total(df, method=self.docid_method)
+            out = df.select(
+                "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"
+            )
+            if n_total is not None:
+                # doc_ids are dense 0..N-1: derive range-partition ids
+                # directly instead of repartitionByRange, whose sampling
+                # pass would compute the docid join twice
+                span = max(1, -(-n_total // self.num_parts))
+                out = out.repartition(
+                    self.num_parts, F.floor(F.col("doc_id") / F.lit(span))
+                )
+            else:
+                out = out.repartitionByRange(self.num_parts, "doc_id")
             (
-                df.select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text")
-                .repartitionByRange(self.num_parts, "doc_id")
-                .sortWithinPartitions("doc_id")
+                out.sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
                 .parquet(man.stage_path("doc_index"))
             )
-            man.commit_stage("doc_index")
+            man.commit_stage("doc_index", seconds=round(time.time() - t0, 2))
         doc_index = self.spark.read.parquet(man.stage_path("doc_index"))
 
         # ---------------------------------------------------- tf rows (transient)
-        tf_rows = doc_index.select("doc_id", "text").mapInPandas(
-            _tokenize_to_tf_rows(self.simple_tokens), TF_SCHEMA
+        # tokenize wants ~2 tasks per core: scan-aligned tasks straggle on
+        # uneven file sizes, and the shuffle that fixes it costs far less
+        # than the tokenization it balances (measured 5x on 600k turns)
+        par_target = max(
+            self.num_parts, 2 * self.spark.sparkContext.defaultParallelism
         )
+        from pyspark import StorageLevel
+
+        tf_rows = ensure_parallelism(
+            doc_index.select("doc_id", "text"), par_target
+        ).mapInPandas(_tokenize_to_tf_rows(self.simple_tokens), TF_SCHEMA)
         # reused by doc_stats, df-stats and postings → persist once
-        tf_rows = tf_rows.persist()
+        tf_rows = tf_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
         # ---------------------------------------------------- doc_stats
         if not man.is_complete("doc_stats"):
+            t0 = time.time()
             dl_df = tf_rows.groupBy("doc_id").agg(
                 F.max("dl").alias("dl"), F.max("norm").alias("norm")
             )
@@ -231,23 +330,26 @@ class IndexBuilder:
                 .write.mode("overwrite")
                 .parquet(man.stage_path("doc_stats"))
             )
-            man.commit_stage("doc_stats")
+            man.commit_stage("doc_stats", seconds=round(time.time() - t0, 2))
         doc_stats = self.spark.read.parquet(man.stage_path("doc_stats"))
         if "n_docs" not in man.stats or not man.is_complete("postings"):
-            agg = doc_stats.where(F.col("dl") > 0).agg(
-                F.count("*").alias("n"), F.sum("dl").alias("total")
+            # one aggregation job: Lucene stats (docCount/avgdl over docs
+            # with ≥1 token, §2.9) + total row count
+            agg = doc_stats.agg(
+                F.count("*").alias("rows"),
+                F.count(F.when(F.col("dl") > 0, 1)).alias("n"),
+                F.sum("dl").alias("total"),
             ).collect()[0]
-            n_rows = doc_stats.count()
-            # Lucene stats: docCount/avgdl over docs with ≥1 token (§2.9)
             man.set_stats(
                 n_docs=int(agg["n"] or 0),
                 total_tokens=int(agg["total"] or 0),
-                n_rows=int(n_rows),
-                max_doc_id=int(n_rows) - 1,
+                n_rows=int(agg["rows"]),
+                max_doc_id=int(agg["rows"]) - 1,
             )
 
         # ---------------------------------------------------- postings
         if not man.is_complete("postings"):
+            t0 = time.time()
             n_rows = int(man.stats["n_rows"])
             df_t = tf_rows.groupBy("term").agg(F.count("*").alias("df"))
             heavy = (
@@ -267,8 +369,14 @@ class IndexBuilder:
                     ).cast("int")
                 ),
             )
-            postings = rows.groupBy("term", "split_id").applyInPandas(
-                _encode_group(self.block_size, self.num_parts), POSTINGS_SCHEMA
+            postings = (
+                rows.repartition(
+                    max(self.num_parts, self.spark.sparkContext.defaultParallelism * 2),
+                    "term",
+                    "split_id",
+                )
+                .sortWithinPartitions("term", "split_id", "doc_id")
+                .mapInPandas(_encode_runs(self.block_size, self.num_parts), POSTINGS_SCHEMA)
             )
             (
                 postings.repartition(self.num_parts, "part")
@@ -277,7 +385,7 @@ class IndexBuilder:
                 .partitionBy("part")
                 .parquet(man.stage_path("postings"))
             )
-            man.commit_stage("postings")
+            man.commit_stage("postings", seconds=round(time.time() - t0, 2))
         tf_rows.unpersist(blocking=False)
 
         # ---------------------------------------------------- build_metrics

@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 from emailindexer_spark.functions import bm25
 from emailindexer_spark.functions.codec import decode_block
 from emailindexer_spark.functions.smallfloat import encode_lengths
-from emailindexer_spark.functions.tokenizer import tokenize
 from emailindexer_spark.plans import wand as wand_mod
 from emailindexer_spark.plans.builder import avgdl_from_stats, term_part_py
 from emailindexer_spark.plans.parser import (
@@ -113,25 +112,40 @@ def _phrase_score_fn(terms: tuple[str, ...], idf_sum: float, avgdl: float, simpl
     from the text (identical to the indexed norm byte by construction).
     """
 
+    from emailindexer_spark.functions.tokenizer import tokenize_series
+
+    m = len(terms)
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_d, out_s = [], []
-            for r in pdf.itertuples(index=False):
-                toks = tokenize(r.text, simple=simple)
-                m = len(terms)
-                freq = sum(
-                    1
-                    for i in range(len(toks) - m + 1)
-                    if toks[i : i + m] == list(terms)
-                )
-                if not freq:
-                    continue
-                dl = bm25.LENGTH_TABLE[int(encode_lengths(np.array([len(toks)]))[0])]
-                sc = idf_sum * freq / (freq + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl))
-                out_d.append(r.doc_id)
-                out_s.append(sc)
-            if out_d:
-                yield pd.DataFrame({"doc_id": out_d, "score": out_s})
+            toks = tokenize_series(pdf["text"], simple=simple)
+            n = toks.str.len().to_numpy(dtype=np.int64)
+            if n.sum() == 0:
+                continue
+            rows = np.repeat(np.arange(len(pdf), dtype=np.int64), n)
+            starts = np.concatenate(([0], np.cumsum(n[:-1])))
+            pos = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(starts, n)
+            flat = pd.DataFrame(
+                {"row": rows, "pos": pos, "term": np.concatenate([t for t in toks.to_numpy() if len(t)])}
+            )
+            # adjacency via successive (row, pos) merges — fully vectorized
+            cur = flat.loc[flat["term"] == terms[0], ["row", "pos"]]
+            for i in range(1, m):
+                nxt = flat.loc[flat["term"] == terms[i], ["row", "pos"]].copy()
+                nxt["pos"] -= i
+                cur = cur.merge(nxt, on=["row", "pos"])
+                if cur.empty:
+                    break
+            if cur.empty:
+                continue
+            freq = cur.groupby("row").size()
+            ridx = freq.index.to_numpy()
+            f = freq.to_numpy(dtype=np.float64)
+            dl = bm25.LENGTH_TABLE[encode_lengths(n[ridx])].astype(np.float64)
+            sc = idf_sum * f / (f + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy()[ridx], "score": sc}
+            )
 
     return gen
 
@@ -212,7 +226,9 @@ class SearchEngine:
                 .where(F.col("nt") == len(terms))
                 .select("doc_id")
             )
-            idf_sum = sum(idf_map[t] for t in set(node.terms))
+            # Lucene PhraseWeight sums idf over term POSITIONS — a phrase
+            # "x x" counts x's idf twice (duplicates not deduped)
+            idf_sum = sum(idf_map[t] for t in node.terms)
             cand_text = cand.join(self.doc_index.select("doc_id", "text"), "doc_id")
             scored = cand_text.mapInPandas(
                 _phrase_score_fn(node.terms, idf_sum, self.avgdl, self.simple),

@@ -73,6 +73,18 @@ def test_with_text_join(engine, corpus_pdf):
         assert r["text"] == lookup[(r["conv_id"], r["turn_idx"])]
 
 
+def test_phrase_repeated_term_idf(engine, oracle_ix):
+    # Lucene PhraseWeight counts a duplicated term's idf per POSITION:
+    # "x x" must score 2*idf(x)-weighted, not deduped (regression)
+    q = '"qojema qojema"'
+    exp = osearch(oracle_ix, q, k=10)
+    got = [
+        (r["doc_id"], r["score"]) for r in engine.search(q, k=10, use_wand=False).collect()
+    ]
+    _assert_match(got, exp, "phrase_repeat")
+    assert got, "fixture corpus must contain an adjacent heavy-term pair"
+
+
 def test_unindexed_query_empty(engine):
     assert engine.search("zzzzqqqqxxxx wwwwww", k=10).count() == 0
 
