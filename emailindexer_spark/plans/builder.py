@@ -278,22 +278,15 @@ class IndexBuilder:
             if self.sanitize:
                 clean = F.pandas_udf(remove_quoted_replies, "string")
                 df = df.withColumn("text", clean(F.col("text")))
-            df, n_total = assign_doc_ids_with_total(df, method=self.docid_method)
-            out = df.select(
-                "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"
-            )
-            if n_total is not None:
-                # doc_ids are dense 0..N-1: derive range-partition ids
-                # directly instead of repartitionByRange, whose sampling
-                # pass would compute the docid join twice
-                span = max(1, -(-n_total // self.num_parts))
-                out = out.repartition(
-                    self.num_parts, F.floor(F.col("doc_id") / F.lit(span))
-                )
-            else:
-                out = out.repartitionByRange(self.num_parts, "doc_id")
+            df, _n_total = assign_doc_ids_with_total(df, method=self.docid_method)
+            # written in the docid join's own partitioning (hashed by
+            # conv_id): avoids a second full shuffle of the text payload.
+            # doc_ids correlate with conv order, so sorting within
+            # partitions still yields tight per-row-group doc_id min/max
+            # stats for lookup pruning.
             (
-                out.sortWithinPartitions("doc_id")
+                df.select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text")
+                .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
                 .parquet(man.stage_path("doc_index"))
             )
