@@ -61,6 +61,12 @@ def corpus_path(n_turns: int) -> str:
     return p
 
 
+def _sub_all(q: str, subs: dict[str, str]) -> str:
+    for pat, sub in subs.items():
+        q = q.replace(pat, sub)
+    return q
+
+
 def pick_terms(pq_path: str) -> dict[str, str]:
     """Deterministic term picks from the corpus head (rare/mid/heavy)."""
     from collections import Counter
@@ -156,6 +162,18 @@ def main() -> None:
         t0 = time.time()
         eng.search(q, k=k, mode=mode, use_wand=wand).collect()
         qsec[name] = round(time.time() - t0, 3)
+    # amortized batch throughput: the whole suite as ONE job
+    batch = {
+        name: (_sub_all(q, subs), k, mode)
+        for name, q, k, mode, _w in BENCH_QUERIES
+        if name != "or3_wand"
+    }
+    t0 = time.time()
+    n_hits = eng.search_many(batch, use_wand=False).count()
+    batch_sec = time.time() - t0
+    qsec["_suite_batched"] = round(batch_sec, 3)
+    qsec["_suite_batched_qps"] = round(len(batch) / batch_sec, 2)
+    qsec["_suite_batched_hits"] = n_hits
     spark.stop()
 
     scaling = {}

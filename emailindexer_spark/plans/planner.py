@@ -391,6 +391,28 @@ class SearchEngine:
             scores = self.score(query)
         return self._finish(scores, k, mode, with_text)
 
+    def search_many(
+        self, queries: dict[str, tuple[str, int, str]], use_wand: bool | None = None
+    ) -> DataFrame:
+        """Run a batch of queries in ONE Spark job.
+
+        queries: query_id -> (query_string, k, mode).  Returns a single
+        DataFrame (query_id, rank, doc_id, conv_id, turn_idx, score) —
+        per-query plans are unioned so driver/job overhead is amortized
+        across the batch (the batch-throughput story; single-query
+        latency on Spark pays ~0.5 s of scheduling that Lucene does not).
+        """
+        parts = []
+        for qid, (q, k, mode) in queries.items():
+            df = self.search(q, k=k, mode=mode, use_wand=use_wand)
+            parts.append(df.withColumn("query_id", F.lit(qid)))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "query_id string, rank int, doc_id long, conv_id string, turn_idx int, score double"
+            )
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        return out.select("query_id", *RESULT_COLS)
+
     def _finish(self, scores: DataFrame, k: int | None, mode: str, with_text: bool) -> DataFrame:
         enriched = scores.join(
             self.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id"
