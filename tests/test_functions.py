@@ -130,6 +130,26 @@ class TestTokenizer:
         for s, g in zip(texts, got):
             assert tokenize(s) == list(g)
 
+    @given(
+        st.lists(
+            st.text(
+                alphabet="abcz019.' -\n\t>!,_#É",  # incl. chars outside the token classes
+                max_size=60,
+            ),
+            max_size=8,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_series_matches_scalar_property(self, texts):
+        s = pd.Series(texts, dtype=object)
+        got = tokenize_series(s)
+        for t, g in zip(texts, got):
+            assert tokenize(t) == list(g)
+        # simple mode too
+        got_s = tokenize_series(s, simple=True)
+        for t, g in zip(texts, got_s):
+            assert tokenize(t, simple=True) == list(g)
+
     def test_simple_mode(self):
         assert tokenize("don't 2.0.26", simple=True) == ["don", "t", "2", "0", "26"]
 
