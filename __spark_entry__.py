@@ -7,7 +7,8 @@ each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — the DuckDB-runnable ANSI-SQL equivalent of each
 query; Spark and SQL share bit-identical derivations (md5-based hashes,
 identical regexes, identical BM25 formula incl. the lossy SmallFloat
-norm identity decode(encode(dl)) = top-4-bits(dl)).
+norm identity decode(encode(dl)) = dl for dl < 32 else
+24 + top-4-bits(dl - 24), per Lucene 9.1's NUM_FREE_VALUES = 24).
 
 Column names and types are aligned pairwise; float columns are rounded
 to 4 decimals on both sides.
@@ -47,9 +48,9 @@ tokens AS (
 tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM tokens GROUP BY 1, 2),
 dl AS (
   SELECT doc_id, count(*) AS dl,
-         CASE WHEN count(*) < 8 THEN count(*)
-              ELSE (count(*) >> (CAST(floor(log2(count(*))) AS INT) - 3))
-                   << (CAST(floor(log2(count(*))) AS INT) - 3)
+         CASE WHEN count(*) < 32 THEN count(*)
+              ELSE 24 + (((count(*) - 24) >> (CAST(floor(log2(count(*) - 24)) AS INT) - 3))
+                         << (CAST(floor(log2(count(*) - 24)) AS INT) - 3))
          END AS dlq
   FROM tokens GROUP BY doc_id
 ),
@@ -788,8 +789,44 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_cos} >= 0.45
 ORDER BY id_a, id_b"""
 
-    # embed_ann_lsh: intentionally no oracle (approximate operator) —
-    # driver records the weaker rows-only check; recall asserted in tests.
+    # embed_ann_lsh: the approximation is DETERMINISTIC (seeded planes,
+    # sign-of-dot bucketing, fixed multiprobe), so it IS SQL-expressible:
+    # inline the plane constants as literals and reproduce bucket + 1-bit
+    # multiprobe + exact-cosine re-rank in DuckDB.  float64 repr literals
+    # round-trip exactly; both sides fold the dot product left-to-right
+    # over doubles, so the sign tests agree bit-for-bit.
+    import numpy as _np
+
+    from emailindexer_spark.operators.similarity import random_planes as _rp
+
+    _planes = _rp(64, n_planes=8, seed=42)
+    _plane_rows = ",\n    ".join(
+        "([" + ", ".join(repr(float(x)) for x in p) + "], " + str(j) + ")"
+        for j, p in enumerate(_planes)
+    )
+    o["embed_ann_lsh"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+pl(p, j) AS (VALUES
+    {_plane_rows}),
+bk AS (
+  SELECT e.vec_id, e.v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END) AS INT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v
+),
+qb AS (
+  SELECT CAST(sum(CASE WHEN list_dot_product(qv.v, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END) AS INT) AS bucket
+  FROM qv CROSS JOIN pl
+)
+SELECT c.vec_id,
+       round(list_dot_product(c.v, q.v) /
+             (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+FROM bk c CROSS JOIN qb CROSS JOIN qv q
+WHERE bit_count(xor(c.bucket, qb.bucket)) <= 1
+ORDER BY list_dot_product(c.v, q.v) /
+         (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+         c.vec_id ASC
+LIMIT 10"""
 
     # ---------------- quality ----------------
     _punct = "CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END"

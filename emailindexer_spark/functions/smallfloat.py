@@ -1,48 +1,85 @@
-"""Lucene SmallFloat 1-byte norm codec (public algorithm, Lucene 9).
+"""Lucene SmallFloat 1-byte norm codec (public algorithm, Lucene 9.1).
 
 Lucene stores a text field's per-document length (number of tokens) as a
 single lossy byte via ``SmallFloat.intToByte4`` and decodes it back with a
-256-entry table (``BM25Similarity`` / ``SmallFloat.byte4ToInt``).  Exact
-BM25 score parity with the reference (which never overrides the default
-similarity — SURVEY.md §1.2) requires replicating this encode/decode
-exactly: two documents of length 17 and 16 share a bucket and therefore
-share a norm.
+256-entry table (``BM25Similarity.LENGTH_TABLE`` / ``SmallFloat.byte4ToInt``).
+Exact BM25 score parity with the reference (which never overrides the
+default similarity — SURVEY.md §1.2) requires replicating this
+encode/decode exactly.
 
-The encoding keeps the 4 most significant bits of the integer (one of
-them implicit) — a tiny float with a 3-bit mantissa and no sign:
+Lucene 9's codec is NOT a plain 4-bit tiny-float: it first reserves the
+low ``NUM_FREE_VALUES`` bytes for exact small values, then shifts the
+tiny-float range up:
 
-  encode(i) = i                       if i < 8
-            = ((i >> s) & 7) | (s+1)<<3   where s = bit_length(i) - 4
-  decode(b) = b                       if b < 8
-            = ((b & 7) | 8) << ((b >> 3) - 1)
+  MAX_INT4        = longToInt4(Integer.MAX_VALUE) = 231
+  NUM_FREE_VALUES = 255 - MAX_INT4                = 24
 
-and decode(encode(i)) == (i >> s) << s — i.e. i with all but its top
-4 bits cleared.  This identity is what the SQL oracles use.
+  intToByte4(i) = i                            if i < 24
+                = 24 + longToInt4(i - 24)      otherwise
+  byte4ToInt(b) = b                            if b < 24
+                = 24 + int4ToLong(b - 24)      otherwise
+
+where longToInt4 is the 4-significant-bit tiny float (3-bit mantissa,
+one implicit bit):
+
+  longToInt4(x) = x                                 if x < 8
+                = ((x >> s) & 7) | (s+1)<<3         where s = bit_length(x) - 4
+  int4ToLong(e) = e & 7                             if e < 8
+                = ((e & 7) | 8) << ((e >> 3) - 1)   otherwise
+
+Consequences the tests pin: doc lengths 0..39 round-trip EXACTLY
+(0..23 via the free values, 24..39 because the tiny float is exact
+below 16), and the first shared bucket is {40, 41} (both decode to 40).
+
+The identity decode(encode(dl)) is SQL-expressible and mirrored in the
+DuckDB oracles (``__spark_entry__.py``):
+
+  dlq(dl) = dl                                       if dl < 32
+          = 24 + (((dl-24) >> s) << s),  s = floor(log2(dl-24)) - 3
+                                                     otherwise
+(for 32 <= dl < 40, s = 0 so dlq = dl, consistent with exactness to 39).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+#: 255 - longToInt4(Integer.MAX_VALUE); low bytes encode lengths exactly.
+NUM_FREE_VALUES = 24
+
+
+def long_to_int4(x: int) -> int:
+    """Lucene ``SmallFloat.longToInt4`` — 4-significant-bit tiny float."""
+    if x < 0:
+        raise ValueError("long_to_int4 requires a non-negative value")
+    nb = x.bit_length()
+    if nb < 4:
+        return x
+    shift = nb - 4
+    return ((x >> shift) & 0x07) | ((shift + 1) << 3)
+
+
+def int4_to_long(e: int) -> int:
+    """Lucene ``SmallFloat.int4ToLong`` — inverse of :func:`long_to_int4`."""
+    bits = e & 0x07
+    shift = (e >> 3) - 1
+    return bits if shift == -1 else (bits | 0x08) << shift
+
 
 def int_to_byte4(i: int) -> int:
-    """Lossy-encode a non-negative int to one byte (0..255)."""
+    """Lucene ``SmallFloat.intToByte4``: lossy-encode an int to one byte."""
     if i < 0:
         raise ValueError("int_to_byte4 requires a non-negative value")
-    nb = i.bit_length()
-    if nb < 4:
+    if i < NUM_FREE_VALUES:
         return i
-    shift = nb - 4
-    if shift + 1 > 31:
-        raise ValueError("value out of range for 4-bit SmallFloat")
-    return ((i >> shift) & 0x07) | ((shift + 1) << 3)
+    return NUM_FREE_VALUES + long_to_int4(i - NUM_FREE_VALUES)
 
 
 def byte4_to_int(b: int) -> int:
-    """Decode one byte back to the bucket's representative length."""
-    bits = b & 0x07
-    shift = (b >> 3) - 1
-    return bits if shift == -1 else (bits | 0x08) << shift
+    """Lucene ``SmallFloat.byte4ToInt``: decode a byte to the bucket rep."""
+    if b < NUM_FREE_VALUES:
+        return b
+    return NUM_FREE_VALUES + int4_to_long(b - NUM_FREE_VALUES)
 
 
 #: 256-entry decode table, exactly Lucene's ``BM25Similarity.LENGTH_TABLE``.
@@ -54,23 +91,25 @@ def encode_lengths(dl: np.ndarray) -> np.ndarray:
     dl = np.asarray(dl, dtype=np.int64)
     if (dl < 0).any():
         raise ValueError("negative doc length")
-    # bit_length via the exponent of the float representation is unsafe at
-    # boundaries; use a log-free formula: int(dl).bit_length() vectorized.
+    x = dl - NUM_FREE_VALUES  # tiny-float operand where dl >= 24
+    # bit_length(x) vectorized; np.log2 of an exact power of two is exact
+    # in float64 for < 2^53, but guard the boundary off-by-one anyway.
     nb = np.zeros_like(dl)
-    nz = dl > 0
-    nb[nz] = np.floor(np.log2(dl[nz].astype(np.float64))).astype(np.int64) + 1
-    # np.log2 of an exact power of two is exact in float64 for < 2^53,
-    # but guard the off-by-one anyway:
-    too_hi = nz & (dl < (1 << np.maximum(nb - 1, 0)))
+    nz = x > 0
+    nb[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(np.int64) + 1
+    too_hi = nz & (x < (1 << np.maximum(nb - 1, 0)))
     nb[too_hi] -= 1
-    too_lo = nz & (dl >= (1 << nb))
+    too_lo = nz & (x >= (1 << nb))
     nb[too_lo] += 1
     shift = np.maximum(nb - 4, 0)
-    small = nb < 4
     out = np.where(
-        small,
+        dl < NUM_FREE_VALUES,
         dl,
-        ((dl >> shift) & 0x07) | ((shift + 1) << 3),
+        np.where(
+            nb < 4,
+            dl,  # subnormal tiny float: 24 + x = dl
+            NUM_FREE_VALUES + (((x >> shift) & 0x07) | ((shift + 1) << 3)),
+        ),
     )
     return out.astype(np.int64)
 

@@ -125,9 +125,38 @@ def _leaf(tok: str, simple: bool) -> Node | None:
     return Phrase(boost=boost, terms=tuple(toks))
 
 
+def _reject_unsupported(tok: str) -> None:
+    """Fail LOUDLY on classic-parser syntax we do not implement.
+
+    The reference's parser accepts ranges (``[a TO b]``), fuzzy/slop
+    (``term~2``) and embedded wildcards (``te?m``, ``te*m``); silently
+    analyzing them into bare terms returns wrong-but-plausible results,
+    so raise instead (quoted phrase bodies are analyzed text and exempt).
+    """
+    if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+        return
+    body, _ = _strip_boost(tok)
+    if "~" in body:
+        raise QueryParseError(
+            f"fuzzy/slop syntax {tok!r} is not supported (no '~' operator)"
+        )
+    if any(c in body for c in "[]{}"):
+        raise QueryParseError(
+            f"range syntax {tok!r} is not supported (no '[a TO b]' queries)"
+        )
+    if "?" in body:
+        raise QueryParseError(f"'?' wildcards are not supported in {tok!r}")
+    if "*" in body[:-1] or body == "*":
+        raise QueryParseError(
+            f"only trailing-'*' prefix wildcards are supported, got {tok!r}"
+        )
+
+
 def parse(query: str, simple: bool = False) -> Bool:
     """Parse a query string into a Bool root node."""
     toks = _lex(query)
+    for t in toks:
+        _reject_unsupported(t)
     node, rest = _parse_bool(toks, 0, simple)
     if rest != len(toks):
         raise QueryParseError(f"trailing tokens in {query!r}")

@@ -43,21 +43,47 @@ from emailindexer_spark.plans.parser import (
 
 
 class TestSmallFloat:
-    def test_identity_below_8(self):
-        for i in range(8):
+    # Pins derived independently from Lucene 9.1 SmallFloat semantics
+    # (NUM_FREE_VALUES = 255 - longToInt4(Integer.MAX_VALUE) = 24), NOT from
+    # this implementation's own round-trip.
+
+    def test_exact_through_39(self):
+        # 0..23 are free values; 24..39 are exact because the tiny float is
+        # exact below 16.  Lucene encodes/decodes all of 0..39 losslessly.
+        for i in range(40):
             assert int_to_byte4(i) == i
             assert byte4_to_int(i) == i
 
-    def test_top4bit_truncation_identity(self):
-        # decode(encode(i)) keeps only the top 4 significant bits
-        for i in [8, 9, 15, 16, 17, 31, 100, 255, 1000, 65535, 10**9]:
-            s = max(0, i.bit_length() - 4)
-            assert byte4_to_int(int_to_byte4(i)) == (i >> s) << s
+    def test_first_shared_bucket_40_41(self):
+        assert byte4_to_int(int_to_byte4(40)) == 40
+        assert byte4_to_int(int_to_byte4(41)) == 40  # 41 shares 40's bucket
+        assert int_to_byte4(40) == int_to_byte4(41) == 40
+
+    def test_lucene_pinned_values(self):
+        # Hand-computed from the Lucene algorithm (offset + tiny float):
+        # encode(i) = 24 + ((x>>s & 7) | (s+1)<<3), x = i-24, s = bitlen(x)-4
+        pins = {
+            0: 0, 17: 17, 23: 23, 24: 24, 39: 39,
+            40: 40,            # x=16, s=1 -> (0|16) -> 40
+            56: 48,            # x=32, s=2 -> (0|24) -> 48
+            100: 57,           # x=76, s=3 -> ((76>>3)&7)|(4<<3) = 33 -> 24+33
+            2**31 - 1: 255,    # MAX_INT -> 24 + 231
+        }
+        for i, b in pins.items():
+            assert int_to_byte4(i) == b, (i, int_to_byte4(i), b)
+
+    def test_shifted_top4bit_identity(self):
+        # decode(encode(i)) = 24 + top-4-bits(i-24) for i >= 24
+        for i in [24, 39, 40, 41, 100, 255, 1000, 65535, 10**9]:
+            x = i - 24
+            s = max(0, x.bit_length() - 4)
+            assert byte4_to_int(int_to_byte4(i)) == 24 + ((x >> s) << s)
 
     def test_table_monotone_256(self):
         assert LENGTH_TABLE.shape == (256,)
         assert (np.diff(LENGTH_TABLE) > 0).all()
-        assert LENGTH_TABLE[0] == 0 and LENGTH_TABLE[255] == 15 << 30
+        assert LENGTH_TABLE[0] == 0
+        assert LENGTH_TABLE[255] == 24 + (15 << 27)  # 24 + int4ToLong(231)
 
     def test_vectorized_matches_scalar(self):
         arr = np.arange(0, 200000, 3)
@@ -65,8 +91,18 @@ class TestSmallFloat:
         assert [int_to_byte4(int(i)) for i in arr[:1000]] == enc[:1000].tolist()
         assert (decode_lengths(enc) == [byte4_to_int(int_to_byte4(int(i))) for i in arr]).all()
 
-    def test_bucketing_is_lossy(self):
-        assert byte4_to_int(int_to_byte4(17)) == 16  # 17 and 16 share a norm
+    def test_sql_mirror_identity(self):
+        # The DuckDB oracles mirror decode(encode(dl)) as:
+        #   dl if dl < 32 else 24 + (((dl-24) >> s) << s), s = floor(log2(dl-24)) - 3
+        import math
+
+        for dl in list(range(0, 5000)) + [65535, 10**6, 10**9]:
+            if dl < 32:
+                q = dl
+            else:
+                s = int(math.floor(math.log2(dl - 24))) - 3
+                q = 24 + (((dl - 24) >> s) << s)
+            assert q == byte4_to_int(int_to_byte4(dl)), dl
 
 
 class TestVarbyte:
@@ -196,3 +232,32 @@ class TestParser:
 
     def test_field_prefix_stripped(self):
         assert parse("body:apple").clauses[0][1].text == "apple"
+
+    def test_unsupported_syntax_raises_loudly(self):
+        # ranges, fuzzy/slop, and non-trailing wildcards are classic-parser
+        # syntax we do NOT implement — silent degrade to bare terms returns
+        # wrong-but-plausible results, so the parser must raise.
+        import pytest as _pytest
+
+        from emailindexer_spark.plans.parser import QueryParseError
+
+        for bad in [
+            "[alpha TO omega]",
+            "ts:{2020 TO 2021}",
+            "roam~",
+            "roam~2",
+            '"a b"~3',
+            "te?m",
+            "te*m",
+            "*",
+            "*term",
+        ]:
+            with _pytest.raises(QueryParseError):
+                parse(bad)
+
+    def test_supported_syntax_still_parses(self):
+        # literal ~ [ ] inside a quoted phrase is analyzed text, not syntax
+        q = parse('"a ~ [b]" pre* term^2')
+        assert isinstance(q.clauses[0][1], Phrase) and q.clauses[0][1].terms == ("a", "b")
+        assert isinstance(q.clauses[1][1], Prefix)
+        assert q.clauses[2][1].boost == 2.0

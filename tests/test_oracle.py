@@ -88,15 +88,20 @@ def test_tie_break_doc_id_asc():
     assert r[0][1] == r[1][1]
 
 
-def test_lossy_norms_bucket_16_17():
-    # dl=17 encodes to the dl=16 bucket → identical scores at same tf
+def test_lossy_norms_first_shared_bucket_40_41():
+    # Lucene 9.1 encodes doc lengths 0..39 exactly (NUM_FREE_VALUES=24 plus
+    # the exact tiny-float range); 41 is the first length to share a bucket
+    # (with 40) → identical scores at same tf, while 16 vs 17 now differ.
     rows = [
-        ("a", 0, "q " + "f0 " * 15),            # dl 16
-        ("b", 0, "q " + "f1 " * 14 + "f2 f3"),  # dl 17 → bucket 16
-        ("c", 0, "q q r"),
+        ("a", 0, "q " + "f0 " * 39),  # dl 40
+        ("b", 0, "q " + "f1 " * 40),  # dl 41 → bucket 40
+        ("c", 0, "q " + "f2 " * 15),  # dl 16
+        ("d", 0, "q " + "f3 " * 16),  # dl 17 — exact, NOT bucketed with 16
+        ("e", 0, "q q r"),
     ]
     r = dict(search(build_oracle_index(rows), "q"))
     assert r[0] == r[1]
+    assert r[2] != r[3]
 
 
 def test_empty_text_docs_excluded_from_stats():
