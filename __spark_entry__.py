@@ -432,9 +432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
     def dedup_jaccard(spark, sf_dir):
+        # scale path: exact Jaccard VERIFIES the LSH candidates (linear
+        # in candidates) — never a raw-shingle self-join
         dd = _docs_with_planted_dups(spark, sf_dir)
+        cand = D.minhash_lsh_pairs(dd, n_hashes=16, bands=4)
         return (
-            D.ngram_jaccard_pairs(dd, threshold=0.8)
+            D.jaccard_verify(cand, dd, threshold=0.8)
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
             .orderBy("id_a", "id_b")
         )
@@ -736,18 +739,26 @@ GROUP BY 1, 2 ORDER BY id_a, id_b"""
 
     o["dedup_jaccard"] = f"""
 WITH {_SQL_DUP_DOCS},{_sql_shingles},
-ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
-sizes AS (SELECT id, count(*) AS sz FROM ex GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM ex a JOIN ex b USING (s) WHERE a.id < b.id GROUP BY 1, 2
+sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
 )
-SELECT id_a, id_b,
-       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+SELECT id_a, id_b, round(jac, 4) AS jaccard
+FROM j WHERE jac >= 0.8
 ORDER BY id_a, id_b"""
 
     bit_terms = " + ".join(

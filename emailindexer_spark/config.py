@@ -32,7 +32,13 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing merges post-shuffle partitions to an ADVISORY BYTE
+        # SIZE — right for IO-bound query shuffles, wrong for this
+        # engine's CPU-dense build stages (tokenize/regex/encode over
+        # compressed text): merging 32 partitions into ~10 quantizes the
+        # stage into ragged waves and caps usable cores.  Skew-join
+        # splitting (the part of AQE we actually want) stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -139,3 +139,38 @@ def decode_block(
     tfs = varbyte_decode(tf_bytes).astype(np.int64)
     norms = np.frombuffer(norm_bytes, dtype=np.uint8).astype(np.int64)
     return docs, tfs, norms
+
+
+# ---------------------------------------------------------------- positions
+
+def encode_positions(pos_concat: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode per-doc term positions for one block.
+
+    ``pos_concat`` is the concatenation of each doc's ascending token
+    positions (block doc order); ``tfs`` gives the per-doc counts.
+    Stored as SEGMENTED deltas (each doc's first position absolute, then
+    gaps — exactly the docID-gap scheme applied within each doc),
+    varbyte-encoded.  Mirrors Lucene's DOCS_AND_FREQS_AND_POSITIONS
+    position payload (EmailIndexGenerator.java:85-88).
+    """
+    p = np.asarray(pos_concat, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    starts = np.concatenate(([0], np.cumsum(t[:-1])))
+    d = np.diff(p, prepend=0)
+    d[starts] = p[starts]  # segment-first values are absolute
+    return varbyte_encode(d.astype(np.uint64))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` → flat positions array."""
+    t = np.asarray(tfs, dtype=np.int64)
+    d = varbyte_decode(buf).astype(np.int64)
+    if d.size == 0:
+        return d
+    cs = np.cumsum(d)
+    starts = np.concatenate(([0], np.cumsum(t[:-1])))
+    # subtract the running prefix that leaked across segment boundaries
+    offs = np.concatenate(([0], cs[starts[1:] - 1]))
+    return cs - np.repeat(offs, t)

@@ -52,6 +52,38 @@ _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 #: Spark regexp_extract_all) — keep in sync with _SIMPLE_RE.
 SIMPLE_PATTERN = "[a-z0-9]+"
 
+#: standard-mode pattern as a string. Java regex (Spark JVM-side) supports
+#: the same lookbehind/lookahead syntax as Python `re`, so this string is
+#: shared verbatim — keep in sync with _STANDARD_RE.
+STANDARD_PATTERN = (
+    r"[a-z0-9]+(?:"
+    r"(?<=[a-z])'(?=[a-z])[a-z0-9]+"
+    r"|(?<=[a-z])\.(?=[a-z])[a-z0-9]+"
+    r"|(?<=[0-9])\.(?=[0-9])[a-z0-9]+"
+    r")*"
+)
+
+
+def dl_expr(text_col, simple: bool = False):
+    """Spark Column: exact token COUNT of a text column, JVM-side.
+
+    Identical to ``len(tokenize(text, simple))`` — same regex executed by
+    java.util.regex instead of Python ``re`` (lookarounds behave the
+    same), with the maxTokenLength-255 split contributing
+    ceil(len(token)/255) per over-long token.  Lets the build compute
+    per-doc lengths (and SmallFloat norms) inside a plain column
+    projection: no Python worker, no per-token rows, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    pattern = SIMPLE_PATTERN if simple else STANDARD_PATTERN
+    toks = F.regexp_extract_all(F.lower(F.coalesce(text_col, F.lit(""))), F.lit(pattern), F.lit(0))
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(MAX_TOKEN_LEN)).cast("int"),
+    )
+
 
 def _split_long(tokens: list[str]) -> list[str]:
     if all(len(t) <= MAX_TOKEN_LEN for t in tokens):

@@ -126,6 +126,43 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard per CANDIDATE pair — the scale path.
+
+    ``pairs`` is (id_a, id_b[, ...]) — typically ``minhash_lsh_pairs``
+    output.  Two id-keyed joins attach each side's distinct shingle set;
+    the intersection is an in-row ``array_intersect``.  Cost is linear in
+    the candidate count (never a raw-shingle self-join, which is
+    quadratic inside common-shingle buckets — a stopword trigram shared
+    by m docs would contribute m² join rows)."""
+    sh = docs.select(
+        F.col(id_col).alias("_jid"), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(
+            sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b"
+        )
+        .withColumn("_i", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("_i") / (F.size("_sh_a") + F.size("_sh_b") - F.col("_i")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -135,7 +172,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over all candidate pairs that
     share ≥1 shingle (explode + self-join on shingle; |A∩B| by count,
-    |A∪B| = |A|+|B|−|A∩B|).  Quadratic only within shingle buckets."""
+    |A∪B| = |A|+|B|−|A∩B|).
+
+    EXHAUSTIVE small-corpus tool: the shingle self-join is quadratic
+    inside common-shingle buckets, so at pipeline scale use
+    ``minhash_lsh_pairs`` + :func:`jaccard_verify` instead."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),

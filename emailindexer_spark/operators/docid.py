@@ -62,10 +62,23 @@ def assign_doc_ids(
 
 
 def assign_doc_ids_with_total(
-    df: DataFrame, method: str = "two_phase", num_partitions: int | None = None
+    df: DataFrame,
+    method: str = "two_phase",
+    num_partitions: int | None = None,
+    checkpoint_offsets: bool = True,
+    pinned: list | None = None,
 ) -> tuple[DataFrame, int | None]:
     """Like assign_doc_ids, also returning the total row count when the
-    two-phase path computes it for free (None for the window path)."""
+    two-phase path computes it for free (None for the window path).
+
+    ``checkpoint_offsets=False`` skips the eager offsets materialization
+    (one fewer serial job): the range-partitioned conversation table
+    stays PERSISTED (appended to ``pinned`` for the caller to unpersist
+    after its action), which pins the sampled range bounds, so the
+    prefix sums stay valid without cutting lineage.  Use only when the
+    caller runs its action while the pin is held (the build's doc_index
+    write does).
+    """
     if method == "window":
         w = Window.orderBy(*ORDER_COLS)
         return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1), None
@@ -79,6 +92,7 @@ def assign_doc_ids_with_total(
         .sortWithinPartitions("conv_id")
         .persist()
     )
+    keep_persisted = False
     try:
         part_sums = {
             r["pid"]: r["s"]
@@ -104,13 +118,22 @@ def assign_doc_ids_with_total(
                 yield pd.DataFrame({"conv_id": pdf["conv_id"], "conv_offset": starts})
 
         offsets = parted.mapInPandas(local_cumsum, "conv_id string, conv_offset long")
-        # Materialize offsets NOW (localCheckpoint cuts the lineage): the
-        # prefix sums above are only valid for the exact partitioning we
-        # sampled; a later recompute of `parted` after unpersist could
-        # re-sample different range bounds and silently mis-assign ids.
-        offsets = offsets.localCheckpoint(eager=True)
+        if checkpoint_offsets:
+            # Materialize offsets NOW (localCheckpoint cuts the lineage):
+            # the prefix sums above are only valid for the exact
+            # partitioning we sampled; a recompute of `parted` after
+            # unpersist could re-sample different range bounds and
+            # silently mis-assign ids.
+            offsets = offsets.localCheckpoint(eager=True)
+        else:
+            # the persisted `parted` pins the partitioning instead; the
+            # consuming action computes offsets from the cached blocks
+            keep_persisted = True
+            if pinned is not None:
+                pinned.append(parted)
     finally:
-        parted.unpersist(blocking=False)
+        if not keep_persisted:
+            parted.unpersist(blocking=False)
     # rank within the conversation rather than trusting turn_idx to be
     # dense from 0: identical for dense input, and correct for partial
     # conversations (e.g. a streaming batch holding turns 5..9).  The

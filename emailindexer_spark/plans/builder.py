@@ -5,18 +5,28 @@ Replaces the reference's sequential paged scan → Lucene IndexWriter loop
 
   stage doc_index   sanitize (BodyReplyRemover parity, optional) →
                     docID assignment (two-phase, operators/docid.py) →
-                    stored-fields table, range-partitioned by doc_id
-  stage doc_stats   single tokenize pass (Arrow/pandas UDF, vectorized) →
-                    (doc_id, term, tf, dl, norm) rows → per-doc lengths +
-                    SmallFloat norms; global N/avgdl into the manifest
-  stage postings    heavy-term detection from per-term doc frequencies →
-                    explicit skew splitting: df > threshold terms are cut
-                    into doc-range splits → ONE salted
-                    repartition-by-(term, split) shuffle →
-                    applyInPandas encodes each sorted run into
-                    delta+varbyte blocks with block-max metadata →
-                    written partitioned by part = md5(term) % P
-                    (query-side partition pruning)
+                    per-doc length + SmallFloat norm as PURE COLUMN
+                    EXPRESSIONS in the same projection (Java regex
+                    token count — functions/tokenizer.dl_expr — and
+                    functions/smallfloat.norm_byte_expr: no Python
+                    worker, no per-token rows) → stored-fields table
+  stage doc_stats   skinny projection of doc_index (doc_id, conv_id,
+                    turn_idx, dl, norm), range-partitioned by doc_id;
+                    global N/avgdl into the manifest from one tiny agg
+  stage postings    heavy-term detection from a DETERMINISTIC doc_id-
+                    sampled tokenize (exact full pass below the sampling
+                    cutoff) → explicit skew splitting: df > threshold
+                    terms are cut into doc-range splits → ONE tokenize
+                    pass feeding the repartition-by-(term, split)
+                    shuffle directly (no persist, no token-stream
+                    round-trip through storage) → mapInPandas encodes
+                    each sorted run into delta+varbyte blocks with
+                    block-max metadata → written partitioned by
+                    part = md5(term) % P (query-side partition pruning)
+  stage term_dict   (term, part, df) table range-partitioned + sorted by
+                    term — Lucene's sorted term dictionary: prefix
+                    queries expand here (vocab-scale scan with row-group
+                    min/max pruning) instead of scanning postings
   stage build_metrics  per-part lineage: postings rows written, payload
                     bytes, skew splits (FIXTURES.md §5)
 
@@ -25,10 +35,14 @@ Every stage commits a snapshot in the manifest (sources/checkpoint.py);
 postings after a mid-build kill.
 
 Scale notes (the 100 TB story):
-* exactly two wide shuffles touch per-token data: the tf-row aggregation
-  implicit in tokenize (map-side, inside the UDF — no Spark shuffle) and
-  the repartition-by-(term, split); everything else shuffles per-doc or
-  per-term rows,
+* the token stream is materialized exactly once, map-side, flowing
+  straight into the ONE wide per-token shuffle (term, split); per-doc
+  stats never touch per-token rows (they are column expressions over the
+  text), so no second token-stream shuffle, persist, or storage bounce,
+* heavy-term detection samples a fixed-size deterministic doc subset
+  (doc_id % mod == 0, partition-invariant, exact when the corpus is
+  small); a binomial-tail mis-estimate only changes the physical split
+  fan-out of a term near the threshold, never query results,
 * skew: without splitting, a 40%-presence stopword's posting run lands in
   one task; with df-proportional splits each task gets ≤ split_target
   postings regardless of term skew,
@@ -46,10 +60,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emailindexer_spark.functions.codec import BLOCK_SIZE, encode_blocks
+from emailindexer_spark.functions.codec import BLOCK_SIZE, encode_blocks, encode_positions
 from emailindexer_spark.functions.sanitize import remove_quoted_replies
-from emailindexer_spark.functions.smallfloat import encode_lengths
-from emailindexer_spark.functions.tokenizer import tokenize_series
+from emailindexer_spark.functions.smallfloat import encode_lengths, norm_byte_expr
+from emailindexer_spark.functions.tokenizer import dl_expr, tokenize_series
 from emailindexer_spark.operators.docid import (
     assign_doc_ids_with_total,
     validate_transcripts,
@@ -59,10 +73,12 @@ from emailindexer_spark.sources.checkpoint import Manifest
 POSTINGS_SCHEMA = (
     "term string, split_id int, part int, df_row long, first_doc long, last_doc long, "
     "b_first array<long>, b_last array<long>, b_n array<int>, b_maxtf array<int>, "
-    "b_minnorm array<int>, b_docs array<binary>, b_tfs array<binary>, b_norms array<binary>"
+    "b_minnorm array<int>, b_docs array<binary>, b_tfs array<binary>, b_norms array<binary>, "
+    "b_pos array<binary>"
 )
 
 TF_SCHEMA = "doc_id long, term string, tf int, dl int, norm int"
+TF_SCHEMA_POS = TF_SCHEMA + ", pos array<int>"
 
 
 def ensure_parallelism(df: DataFrame, target: int) -> DataFrame:
@@ -94,8 +110,10 @@ def term_part_py(term: str, num_parts: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % num_parts
 
 
-def _tokenize_to_tf_rows(simple: bool):
-    """mapInPandas: (doc_id, text) batches → (doc_id, term, tf, dl, norm)."""
+def _tokenize_to_tf_rows(simple: bool, positions: bool = False):
+    """mapInPandas: (doc_id, text) batches → (doc_id, term, tf, dl, norm
+    [, pos]).  With ``positions``, each row additionally carries the
+    doc's ascending token positions for that term (array<int>)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -106,21 +124,50 @@ def _tokenize_to_tf_rows(simple: bool):
                 continue
             flat_docs = np.repeat(doc_ids, nlens)
             flat_terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
-            grouped = (
-                pd.DataFrame({"doc_id": flat_docs, "term": flat_terms})
-                .groupby(["doc_id", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
-            )
             dl_map = pd.Series(nlens, index=doc_ids)
-            dl = dl_map.reindex(grouped["doc_id"]).to_numpy(dtype=np.int64)
+            if not positions:
+                grouped = (
+                    pd.DataFrame({"doc_id": flat_docs, "term": flat_terms})
+                    .groupby(["doc_id", "term"], sort=False)
+                    .size()
+                    .reset_index(name="tf")
+                )
+                dl = dl_map.reindex(grouped["doc_id"]).to_numpy(dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": grouped["doc_id"],
+                        "term": grouped["term"],
+                        "tf": grouped["tf"].astype("int32"),
+                        "dl": dl.astype("int32"),
+                        "norm": encode_lengths(dl).astype("int32"),
+                    }
+                )
+                continue
+            starts = np.concatenate(([0], np.cumsum(nlens[:-1])))
+            flat_pos = (
+                np.arange(int(nlens.sum()), dtype=np.int64) - np.repeat(starts, nlens)
+            ).astype(np.int32)
+            fd = pd.DataFrame(
+                {"doc_id": flat_docs, "term": flat_terms, "pos": flat_pos}
+            )
+            # stable sort keeps positions ascending within each group
+            fd.sort_values(["doc_id", "term"], kind="stable", inplace=True, ignore_index=True)
+            dv = fd["doc_id"].to_numpy()
+            tv = fd["term"].to_numpy()
+            change = np.nonzero((dv[1:] != dv[:-1]) | (tv[1:] != tv[:-1]))[0] + 1
+            gstarts = np.concatenate(([0], change))
+            tf = np.diff(np.concatenate((gstarts, [len(fd)])))
+            pos_lists = np.split(fd["pos"].to_numpy(), change)
+            gdocs = dv[gstarts]
+            dl = dl_map.reindex(gdocs).to_numpy(dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "doc_id": grouped["doc_id"],
-                    "term": grouped["term"],
-                    "tf": grouped["tf"].astype("int32"),
+                    "doc_id": gdocs,
+                    "term": tv[gstarts],
+                    "tf": tf.astype("int32"),
                     "dl": dl.astype("int32"),
                     "norm": encode_lengths(dl).astype("int32"),
+                    "pos": pos_lists,
                 }
             )
 
@@ -131,12 +178,24 @@ def _encode_one(term: str, split_id: int, pdf: pd.DataFrame, block_size: int, nu
     docs = pdf["doc_id"].to_numpy(dtype=np.int64)
     order = np.argsort(docs, kind="stable")
     docs = docs[order]
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
     eb = encode_blocks(
         docs,
-        pdf["tf"].to_numpy(dtype=np.int64)[order],
+        tfs,
         pdf["norm"].to_numpy(dtype=np.int64)[order],
         block_size=block_size,
     )
+    if "pos" in pdf.columns:
+        pos_concat = np.concatenate(list(pdf["pos"].to_numpy()[order])).astype(np.int64)
+        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+        b_pos = []
+        for i in range(len(eb.n)):
+            s, e = i * block_size, min((i + 1) * block_size, docs.size)
+            b_pos.append(
+                encode_positions(pos_concat[tf_cum[s] : tf_cum[e]], tfs[s:e])
+            )
+    else:
+        b_pos = [b""] * len(eb.n)
     return {
         "term": term,
         "split_id": split_id,
@@ -152,6 +211,7 @@ def _encode_one(term: str, split_id: int, pdf: pd.DataFrame, block_size: int, nu
         "b_docs": eb.doc_bytes,
         "b_tfs": eb.tf_bytes,
         "b_norms": eb.norm_bytes,
+        "b_pos": b_pos,
     }
 
 
@@ -236,6 +296,8 @@ class IndexBuilder:
         sanitize: bool = False,
         validate: bool = False,
         docid_method: str = "two_phase",
+        heavy_sample_docs: int = 50_000,
+        positions: bool = True,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -247,6 +309,11 @@ class IndexBuilder:
         self.sanitize = sanitize
         self.validate = validate
         self.docid_method = docid_method
+        self.heavy_sample_docs = heavy_sample_docs
+        # term positions in postings (Lucene DOCS_AND_FREQS_AND_POSITIONS,
+        # EmailIndexGenerator.java:85-88): default on for parity; phrase
+        # queries intersect indexed positions instead of re-tokenizing text
+        self.positions = positions
 
     def _params(self) -> dict:
         return {
@@ -256,6 +323,7 @@ class IndexBuilder:
             "split_target": self.split_target,
             "simple_tokens": self.simple_tokens,
             "sanitize": self.sanitize,
+            "positions": self.positions,
         }
 
     def build(self, transcripts: DataFrame, resume: bool = False) -> Manifest:
@@ -269,55 +337,65 @@ class IndexBuilder:
         # ---------------------------------------------------- doc_index
         if not man.is_complete("doc_index"):
             t0 = time.time()
-            df = ensure_parallelism(
-                transcripts,
-                max(self.num_parts, self.spark.sparkContext.defaultParallelism),
-            )
+            df = transcripts
             if self.validate:
                 validate_transcripts(df)
+            pins: list = []
+            df, _n_total = assign_doc_ids_with_total(
+                df, method=self.docid_method, checkpoint_offsets=False, pinned=pins
+            )
+            # sanitize + per-doc length/norm run AFTER the docid join, in
+            # the join's own partitioning (hashed by conv_id) — the
+            # expensive per-row work is spread over shuffle_partitions
+            # regardless of how few splits the raw scan produced, and the
+            # text payload is shuffled exactly once.
             if self.sanitize:
                 clean = F.pandas_udf(remove_quoted_replies, "string")
                 df = df.withColumn("text", clean(F.col("text")))
-            df, _n_total = assign_doc_ids_with_total(df, method=self.docid_method)
-            # written in the docid join's own partitioning (hashed by
-            # conv_id): avoids a second full shuffle of the text payload.
+            df = df.withColumn("dl", dl_expr(F.col("text"), self.simple_tokens))
+            df = df.withColumn("norm", norm_byte_expr(F.col("dl")))
             # doc_ids correlate with conv order, so sorting within
             # partitions still yields tight per-row-group doc_id min/max
-            # stats for lookup pruning.
+            # stats for lookup pruning.  Corpus scalars (Lucene docCount/
+            # avgdl over docs with ≥1 token, §2.9) ride the SAME action
+            # via observe() — no separate aggregation job.
+            from pyspark.sql import Observation
+
+            obs = Observation("build_stats")
             (
-                df.select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text")
+                df.select(
+                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "text", "dl", "norm",
+                )
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.count(F.when(F.col("dl") > 0, 1)).alias("n"),
+                    F.sum("dl").alias("total"),
+                )
                 .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
                 .parquet(man.stage_path("doc_index"))
             )
+            for p in pins:
+                p.unpersist(blocking=False)
+            m = obs.get
+            man.set_stats(
+                n_docs=int(m["n"] or 0),
+                total_tokens=int(m["total"] or 0),
+                n_rows=int(m["rows"]),
+                max_doc_id=int(m["rows"]) - 1,
+            )
             man.commit_stage("doc_index", seconds=round(time.time() - t0, 2))
         doc_index = self.spark.read.parquet(man.stage_path("doc_index"))
 
-        # ---------------------------------------------------- tf rows (transient)
-        # tokenize wants ~2 tasks per core: scan-aligned tasks straggle on
-        # uneven file sizes, and the shuffle that fixes it costs far less
-        # than the tokenization it balances (measured 5x on 600k turns)
-        par_target = max(
-            self.num_parts, 2 * self.spark.sparkContext.defaultParallelism
-        )
-        from pyspark import StorageLevel
-
-        tf_rows = ensure_parallelism(
-            doc_index.select("doc_id", "text"), par_target
-        ).mapInPandas(_tokenize_to_tf_rows(self.simple_tokens), TF_SCHEMA)
-        # reused by doc_stats, df-stats and postings → persist once
-        tf_rows = tf_rows.persist(StorageLevel.MEMORY_AND_DISK)
-
         # ---------------------------------------------------- doc_stats
+        # skinny projection (no text column touched) — keeps the A6
+        # norms-table contract at ~1% of the doc_index bytes
         if not man.is_complete("doc_stats"):
             t0 = time.time()
-            dl_df = tf_rows.groupBy("doc_id").agg(
-                F.max("dl").alias("dl"), F.max("norm").alias("norm")
-            )
             (
-                doc_index.select("doc_id", "conv_id", "turn_idx")
-                .join(dl_df, "doc_id", "left")
-                .fillna(0, subset=["dl", "norm"])
+                doc_index.select("doc_id", "conv_id", "turn_idx", "dl", "norm")
                 .repartitionByRange(self.num_parts, "doc_id")
                 .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
@@ -325,9 +403,9 @@ class IndexBuilder:
             )
             man.commit_stage("doc_stats", seconds=round(time.time() - t0, 2))
         doc_stats = self.spark.read.parquet(man.stage_path("doc_stats"))
-        if "n_docs" not in man.stats or not man.is_complete("postings"):
-            # one aggregation job: Lucene stats (docCount/avgdl over docs
-            # with ≥1 token, §2.9) + total row count
+        if "n_docs" not in man.stats:
+            # resume fallback (manifest predates the observe()-based
+            # stats): one aggregation job over the skinny doc_stats table
             agg = doc_stats.agg(
                 F.count("*").alias("rows"),
                 F.count(F.when(F.col("dl") > 0, 1)).alias("n"),
@@ -341,17 +419,40 @@ class IndexBuilder:
             )
 
         # ---------------------------------------------------- postings
+        par_target = max(
+            self.num_parts, 2 * self.spark.sparkContext.defaultParallelism
+        )
         if not man.is_complete("postings"):
             t0 = time.time()
             n_rows = int(man.stats["n_rows"])
-            df_t = tf_rows.groupBy("term").agg(F.count("*").alias("df"))
+            # heavy-term detection over a deterministic doc_id sample
+            # (mod == 1 → exact full pass; doc_ids are dense so the
+            # sample is uniform, partition-invariant and reproducible)
+            sample_mod = min(max(1, n_rows // self.heavy_sample_docs), 4096)
+            src = doc_index.select("doc_id", "text")
+            sample_src = (
+                src.where(F.pmod(F.col("doc_id"), F.lit(sample_mod)) == 0)
+                if sample_mod > 1
+                else src
+            )
+            sample_tf = ensure_parallelism(sample_src, par_target).mapInPandas(
+                _tokenize_to_tf_rows(self.simple_tokens), TF_SCHEMA
+            )
             heavy = (
-                df_t.where(F.col("df") > self.heavy_df_threshold)
+                sample_tf.groupBy("term")
+                .agg((F.count("*") * sample_mod).alias("df_est"))
+                .where(F.col("df_est") > self.heavy_df_threshold)
                 .withColumn(
                     "n_splits",
-                    F.ceil(F.col("df") / F.lit(self.split_target)).cast("int"),
+                    F.ceil(F.col("df_est") / F.lit(self.split_target)).cast("int"),
                 )
                 .select("term", "n_splits")
+            )
+            # ONE full tokenize pass feeding the wide shuffle directly —
+            # no persist: the token stream is never stored or re-read
+            tf_rows = ensure_parallelism(src, par_target).mapInPandas(
+                _tokenize_to_tf_rows(self.simple_tokens, positions=self.positions),
+                TF_SCHEMA_POS if self.positions else TF_SCHEMA,
             )
             rows = tf_rows.join(F.broadcast(heavy), "term", "left").withColumn(
                 "split_id",
@@ -362,8 +463,14 @@ class IndexBuilder:
                     ).cast("int")
                 ),
             )
+            shuffle_cols = ["term", "split_id", "doc_id", "tf", "norm"] + (
+                ["pos"] if self.positions else []
+            )
             postings = (
-                rows.repartition(
+                # dl is not needed downstream — drop it before the wide
+                # shuffle so the per-token payload stays minimal
+                rows.select(*shuffle_cols)
+                .repartition(
                     max(self.num_parts, self.spark.sparkContext.defaultParallelism * 2),
                     "term",
                     "split_id",
@@ -379,10 +486,13 @@ class IndexBuilder:
                 .parquet(man.stage_path("postings"))
             )
             man.commit_stage("postings", seconds=round(time.time() - t0, 2))
-        tf_rows.unpersist(blocking=False)
 
-        # ---------------------------------------------------- build_metrics
-        if not man.is_complete("build_metrics"):
+        # --------------------------------------- term_dict + build_metrics
+        # ONE pass over the postings feeds both: a per-(term, part)
+        # pre-aggregation (persisted — vocabulary-sized, tiny) becomes the
+        # sorted term dictionary directly and rolls up into the per-part
+        # lineage metrics.
+        if not (man.is_complete("term_dict") and man.is_complete("build_metrics")):
             p = self.spark.read.parquet(man.stage_path("postings"))
             payload_bytes = (
                 F.aggregate(
@@ -403,28 +513,54 @@ class IndexBuilder:
                     lambda a, x: a + x,
                 )
             )
-            metrics = (
+            aug = (
                 p.withColumn("payload_bytes", payload_bytes)
-                .groupBy("part")
+                .groupBy("term", "part")
                 .agg(
+                    F.sum("df_row").alias("df"),
                     F.count("*").alias("posting_rows"),
-                    F.sum("df_row").alias("postings_written"),
-                    F.sum("payload_bytes").alias("bytes_compressed"),
+                    F.sum("payload_bytes").alias("payload_bytes"),
                     F.sum(F.when(F.col("split_id") > 0, 1).otherwise(0)).alias("skew_splits"),
-                    F.countDistinct("term").alias("n_terms"),
                 )
-                .withColumn("snapshot_id", F.lit(man.snapshot_id))
+                .persist()
             )
-            metrics.write.mode("overwrite").parquet(man.stage_path("build_metrics"))
-            g = self.spark.read.parquet(man.stage_path("build_metrics")).agg(
-                F.sum("postings_written"), F.sum("bytes_compressed"), F.sum("skew_splits")
-            ).collect()[0]
-            man.set_stats(
-                postings_written=int(g[0] or 0),
-                bytes_compressed=int(g[1] or 0),
-                skew_splits=int(g[2] or 0),
-            )
-            man.commit_stage("build_metrics")
+            # Lucene's sorted term dictionary: (term, part, df) range-
+            # partitioned and sorted by term, so prefix expansion scans
+            # the vocabulary (row-group pruned), never the postings
+            if not man.is_complete("term_dict"):
+                t0 = time.time()
+                (
+                    aug.select("term", "part", "df")
+                    .repartitionByRange(max(1, self.num_parts // 4), "term")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .parquet(man.stage_path("term_dict"))
+                )
+                man.commit_stage("term_dict", seconds=round(time.time() - t0, 2))
+            if not man.is_complete("build_metrics"):
+                t0 = time.time()
+                metrics = (
+                    aug.groupBy("part")
+                    .agg(
+                        F.sum("posting_rows").alias("posting_rows"),
+                        F.sum("df").alias("postings_written"),
+                        F.sum("payload_bytes").alias("bytes_compressed"),
+                        F.sum("skew_splits").alias("skew_splits"),
+                        F.count("*").alias("n_terms"),  # aug is unique per (term, part)
+                    )
+                    .withColumn("snapshot_id", F.lit(man.snapshot_id))
+                )
+                metrics.write.mode("overwrite").parquet(man.stage_path("build_metrics"))
+                g = self.spark.read.parquet(man.stage_path("build_metrics")).agg(
+                    F.sum("postings_written"), F.sum("bytes_compressed"), F.sum("skew_splits")
+                ).collect()[0]
+                man.set_stats(
+                    postings_written=int(g[0] or 0),
+                    bytes_compressed=int(g[1] or 0),
+                    skew_splits=int(g[2] or 0),
+                )
+                man.commit_stage("build_metrics", seconds=round(time.time() - t0, 2))
+            aug.unpersist(blocking=False)
         return man
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emailindexer_spark.functions import bm25
-from emailindexer_spark.functions.codec import decode_block
+from emailindexer_spark.functions.codec import decode_block, decode_positions
 from emailindexer_spark.functions.smallfloat import encode_lengths
 from emailindexer_spark.plans import wand as wand_mod
 from emailindexer_spark.plans.builder import avgdl_from_stats, term_part_py
@@ -150,6 +150,81 @@ def _phrase_score_fn(terms: tuple[str, ...], idf_sum: float, avgdl: float, simpl
     return gen
 
 
+POS_STREAM_SCHEMA = "doc_id long, pos long, slot int, norm int"
+
+
+def _decode_positions_stream(phrase_terms: tuple[str, ...]):
+    """mapInPandas over posting rows (with b_pos) → (doc_id, pos, slot,
+    norm): slot i carries term i's positions shifted by -i, so an exact
+    phrase match is m slots agreeing on one (doc_id, pos).  Norm bytes
+    ride on slot-0 rows only (one per doc is enough for scoring).
+    Repeated phrase terms ("x x") emit the same postings under each of
+    their slots — Lucene PhraseWeight semantics fall out."""
+    slot_map: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase_terms):
+        slot_map.setdefault(t, []).append(i)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            docs_out, pos_out, slot_out, norm_out = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                slots = slot_map.get(r.term)
+                if not slots:
+                    continue
+                for i in range(len(r.b_docs)):
+                    d, t, n = decode_block(
+                        int(r.b_first[i]), r.b_docs[i], r.b_tfs[i], r.b_norms[i]
+                    )
+                    p = decode_positions(r.b_pos[i], t)
+                    drep = np.repeat(d, t)
+                    for s in slots:
+                        docs_out.append(drep)
+                        pos_out.append(p - s)
+                        slot_out.append(np.full(drep.size, s, dtype=np.int32))
+                        norm_out.append(
+                            np.repeat(n, t) if s == 0 else np.zeros(drep.size, dtype=np.int64)
+                        )
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(docs_out),
+                        "pos": np.concatenate(pos_out),
+                        "slot": np.concatenate(slot_out),
+                        "norm": np.concatenate(norm_out),
+                    }
+                )
+
+    return gen
+
+
+def _phrase_match_positions(m: int, idf_sum: float, avgdl: float):
+    """mapInPandas over doc_id-partitioned position streams → scores.
+
+    Adjacency is m-1 vectorized merges on (doc_id, pos); phrase tf =
+    matches per doc; score is the standard BM25 partial with the SUMMED
+    constituent idf (Lucene PhraseWeight).  The whole partition is
+    concatenated first: a doc's rows may span Arrow batches."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = list(it)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+        cur = pdf.loc[pdf["slot"] == 0, ["doc_id", "pos", "norm"]]
+        for i in range(1, m):
+            nxt = pdf.loc[pdf["slot"] == i, ["doc_id", "pos"]]
+            cur = cur.merge(nxt, on=["doc_id", "pos"])
+            if cur.empty:
+                return
+        g = cur.groupby("doc_id").agg(freq=("pos", "size"), norm=("norm", "first"))
+        f = g["freq"].to_numpy(np.float64)
+        dl = bm25.LENGTH_TABLE[g["norm"].to_numpy(np.int64)].astype(np.float64)
+        sc = idf_sum * f / (f + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl))
+        yield pd.DataFrame({"doc_id": g.index.to_numpy(), "score": sc})
+
+    return gen
+
+
 class SearchEngine:
     """Query engine over an index directory built by plans/builder.py."""
 
@@ -161,12 +236,23 @@ class SearchEngine:
             raise ValueError(f"{index_dir} has no completed build")
         self.num_parts = int(self.man.params.get("num_parts", 32))
         self.simple = bool(self.man.params.get("simple_tokens", False))
+        self.positions = bool(self.man.params.get("positions", False))
         self.n_docs = int(self.man.stats["n_docs"])
         self.n_rows = int(self.man.stats["n_rows"])
         self.avgdl = avgdl_from_stats(self.man.stats)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self._doc_index: DataFrame | None = None
+        # sorted term dictionary (term, part, df): prefix expansion +
+        # df lookups scan the vocabulary, never the postings payloads
+        td_path = os.path.join(index_dir, "term_dict")
+        self.term_dict: DataFrame | None = (
+            spark.read.parquet(td_path) if os.path.isdir(td_path) else None
+        )
+        # driver-side df cache (Lucene keeps its term dictionary in
+        # memory too): terms resolve once per engine instance; None
+        # marks a term known to be absent from the index
+        self._df_cache: dict[str, int | None] = {}
 
     @property
     def doc_index(self) -> DataFrame:
@@ -184,16 +270,23 @@ class SearchEngine:
         )
 
     def term_dfs(self, terms: set[str]) -> dict[str, int]:
-        """Global doc frequency per term (sum over skew splits)."""
-        if not terms:
-            return {}
-        rows = (
-            self._rows_for_terms(terms)
-            .groupBy("term")
-            .agg(F.sum("df_row").alias("df"))
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        """Global doc frequency per term (sum over skew splits/batches).
+
+        Cached per engine instance, so a batch of queries sharing terms
+        (or ``search_many`` pre-warming the cache with the union of all
+        its queries' terms) pays ONE driver round-trip total.
+        """
+        missing = {t for t in terms if t not in self._df_cache}
+        if missing:
+            if self.term_dict is not None:
+                src = self.term_dict.where(F.col("term").isin(sorted(missing)))
+            else:  # pre-term_dict index layout
+                src = self._rows_for_terms(missing).withColumnRenamed("df_row", "df")
+            rows = src.groupBy("term").agg(F.sum("df").alias("df")).collect()
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        return {t: v for t in terms if (v := self._df_cache.get(t)) is not None}
 
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], SCORE_SCHEMA)
@@ -212,13 +305,45 @@ class SearchEngine:
             df = self._scored_terms_df({node.text}, idf_map).drop("term")
             return df.withColumn("score", F.col("score") * F.lit(node.boost))
         if isinstance(node, Prefix):
-            prows = self.postings.where(F.col("term").startswith(node.prefix))
+            pred = F.col("term").startswith(node.prefix)
+            if self.term_dict is not None:
+                # expand against the sorted term dictionary (vocab-scale
+                # scan, row-group pruned by the sorted `term` min/max),
+                # then prune postings PARTITIONS like any term query —
+                # the P-bounded part list is the only driver round-trip
+                parts = [
+                    r["part"]
+                    for r in self.term_dict.where(pred).select("part").distinct().collect()
+                ]
+                if not parts:
+                    return None
+                prows = self.postings.where(F.col("part").isin(sorted(parts)) & pred)
+            else:  # pre-term_dict index layout: full postings scan
+                prows = self.postings.where(pred)
             docs = prows.mapInPandas(_decode_docs_only(), "doc_id long").distinct()
             return docs.withColumn("score", F.lit(1.0 * node.boost))
         if isinstance(node, Phrase):
             terms = set(node.terms)
             if any(t not in idf_map for t in terms):
                 return None
+            # Lucene PhraseWeight sums idf over term POSITIONS — a phrase
+            # "x x" counts x's idf twice (duplicates not deduped)
+            idf_sum = sum(idf_map[t] for t in node.terms)
+            if self.positions:
+                # positions path (index is DOCS_AND_FREQS_AND_POSITIONS):
+                # decode the phrase terms' position payloads, ONE shuffle
+                # by doc_id, vectorized adjacency merge — cost scales with
+                # the terms' postings volume, never with corpus text size
+                stream = self._rows_for_terms(terms).mapInPandas(
+                    _decode_positions_stream(node.terms), POS_STREAM_SCHEMA
+                )
+                scored = stream.repartition("doc_id").mapInPandas(
+                    _phrase_match_positions(len(node.terms), idf_sum, self.avgdl),
+                    SCORE_SCHEMA,
+                )
+                return scored.withColumn("score", F.col("score") * F.lit(node.boost))
+            # fallback for position-less indexes: candidate docs contain
+            # ALL phrase terms; re-tokenize their text to verify adjacency
             cand = (
                 self._scored_terms_df(terms, idf_map)
                 .groupBy("doc_id")
@@ -226,9 +351,6 @@ class SearchEngine:
                 .where(F.col("nt") == len(terms))
                 .select("doc_id")
             )
-            # Lucene PhraseWeight sums idf over term POSITIONS — a phrase
-            # "x x" counts x's idf twice (duplicates not deduped)
-            idf_sum = sum(idf_map[t] for t in node.terms)
             cand_text = cand.join(self.doc_index.select("doc_id", "text"), "doc_id")
             scored = cand_text.mapInPandas(
                 _phrase_score_fn(node.terms, idf_sum, self.avgdl, self.simple),
@@ -402,6 +524,13 @@ class SearchEngine:
         across the batch (the batch-throughput story; single-query
         latency on Spark pays ~0.5 s of scheduling that Lucene does not).
         """
+        # ONE df-stat lookup for the whole batch: pre-warm the term cache
+        # with the union of every query's terms, so the per-query plans
+        # below fire zero additional driver round-trips for stats
+        all_terms: set[str] = set()
+        for q, _k, _mode in queries.values():
+            all_terms |= query_terms(parse(q, simple=self.simple))
+        self.term_dfs(all_terms)
         parts = []
         for qid, (q, k, mode) in queries.items():
             df = self.search(q, k=k, mode=mode, use_wand=use_wand)

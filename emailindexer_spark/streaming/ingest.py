@@ -14,6 +14,15 @@ Corpus statistics (N, total_tokens → avgdl) are updated in the manifest
 on every commit, so scores reflect the full corpus after each batch —
 the same behavior as a Lucene commit making new segments visible.
 
+Exactly-once semantics (Structured Streaming is at-least-once into
+``foreachBatch``): every batch's files are (1) written into a private
+``_staging/`` directory, (2) moved into the live tables under a
+batch-tagged file prefix, (3) committed in the manifest together with
+the batch id.  A replayed batch whose id is already committed is
+skipped; a crashed half-appended attempt is detected by its tag and its
+partial files are deleted before the rewrite — no duplicate doc_ids,
+postings, or inflated stats survive a retry.
+
 ``stream_ingest`` wires this into Structured Streaming via
 ``foreachBatch`` + ``trigger(availableNow)``; ``incremental_append`` is
 the batch core, usable directly for micro-batch ETL.
@@ -22,73 +31,151 @@ the batch core, usable directly for micro-batch ETL.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emailindexer_spark.functions.smallfloat import norm_byte_expr
+from emailindexer_spark.functions.tokenizer import dl_expr
 from emailindexer_spark.plans.builder import (
     POSTINGS_SCHEMA,
     TF_SCHEMA,
+    TF_SCHEMA_POS,
     _encode_group,
     _tokenize_to_tf_rows,
 )
 from emailindexer_spark.sources.checkpoint import Manifest
 
+_TABLES = ("doc_index", "doc_stats", "postings", "term_dict")
 
-def incremental_append(spark: SparkSession, index_dir: str, batch: DataFrame) -> Manifest:
-    """Append one batch of transcripts to an existing index."""
+
+def _tag_for(batch_seq: int, batch_id: int | None) -> str:
+    return f"ingb{int(batch_id):012d}" if batch_id is not None else f"ing{batch_seq:06d}"
+
+
+def _remove_tagged(live_dir: str, tag: str) -> None:
+    """Delete files from a crashed prior attempt of the same batch."""
+    if not os.path.isdir(live_dir):
+        return
+    for root, _dirs, files in os.walk(live_dir):
+        for fn in files:
+            if fn.startswith(tag + "-"):
+                os.remove(os.path.join(root, fn))
+
+
+def _move_staged(staged_dir: str, live_dir: str, tag: str) -> None:
+    """Move staged parquet files into the live table, preserving
+    partition subdirectories (``part=K/``) and tagging file names so a
+    retry can identify this batch's files."""
+    if not os.path.isdir(staged_dir):
+        return
+    for root, _dirs, files in os.walk(staged_dir):
+        rel = os.path.relpath(root, staged_dir)
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            dst_dir = live_dir if rel == "." else os.path.join(live_dir, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            os.replace(os.path.join(root, fn), os.path.join(dst_dir, f"{tag}-{fn}"))
+
+
+def incremental_append(
+    spark: SparkSession, index_dir: str, batch: DataFrame, batch_id: int | None = None
+) -> Manifest:
+    """Append one batch of transcripts to an existing index.
+
+    ``batch_id`` (Structured Streaming's ``foreachBatch`` id) makes the
+    append idempotent: an id already committed in the manifest is a
+    no-op replay.
+    """
     man = Manifest.load_or_create(index_dir)
     if "n_rows" not in man.stats:
         raise ValueError(f"{index_dir} has no completed base build")
+    committed: list[int] = list(man.stats.get("committed_batch_ids", []))
+    if batch_id is not None and int(batch_id) in committed:
+        return man  # replayed batch — already fully committed
     base = int(man.stats["n_rows"])
     num_parts = int(man.params.get("num_parts", 32))
     simple = bool(man.params.get("simple_tokens", False))
     batch_seq = int(man.stats.get("ingest_batches", 0)) + 1
+    tag = _tag_for(batch_seq, batch_id)
+
+    # clean any partial files left by a crashed attempt of this batch
+    for t in _TABLES:
+        _remove_tagged(man.stage_path(t), tag)
+    staging = os.path.join(index_dir, "_staging", tag)
+    shutil.rmtree(staging, ignore_errors=True)
 
     # docIDs: insertion order within the batch (stable (conv_id, turn_idx)
     # inside the batch), offset by the current corpus size
     from emailindexer_spark.operators.docid import assign_doc_ids
 
-    with_ids = assign_doc_ids(batch, method="two_phase").withColumn(
-        "doc_id", F.col("doc_id") + F.lit(base)
+    with_ids = (
+        assign_doc_ids(batch, method="two_phase")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        .withColumn("dl", dl_expr(F.col("text"), simple))
     )
-    with_ids.select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text").write.mode(
-        "append"
-    ).parquet(man.stage_path("doc_index"))
+    with_ids = with_ids.withColumn("norm", norm_byte_expr(F.col("dl"))).persist()
+    try:
+        with_ids.select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl", "norm"
+        ).write.parquet(os.path.join(staging, "doc_index"))
+        with_ids.select("doc_id", "conv_id", "turn_idx", "dl", "norm").write.parquet(
+            os.path.join(staging, "doc_stats")
+        )
 
-    tf_rows = with_ids.select("doc_id", "text").mapInPandas(
-        _tokenize_to_tf_rows(simple), TF_SCHEMA
-    ).persist()
+        positions = bool(man.params.get("positions", False))
+        tf_rows = with_ids.select("doc_id", "text").mapInPandas(
+            _tokenize_to_tf_rows(simple, positions=positions),
+            TF_SCHEMA_POS if positions else TF_SCHEMA,
+        )
+        # every batch becomes one fresh split per term: doc ranges are
+        # disjoint from all prior rows by construction (ids ≥ base)
+        postings = (
+            tf_rows.withColumn("split_id", F.lit(batch_seq * 1_000_000))
+            .groupBy("term", "split_id")
+            .applyInPandas(
+                _encode_group(int(man.params.get("block_size", 128)), num_parts),
+                POSTINGS_SCHEMA,
+            )
+        )
+        postings.repartition(max(1, num_parts // 4), "part").write.partitionBy(
+            "part"
+        ).parquet(os.path.join(staging, "postings"))
+        # term_dict delta: df per (term, part) sums over rows at read time
+        (
+            spark.read.parquet(os.path.join(staging, "postings"))
+            .groupBy("term", "part")
+            .agg(F.sum("df_row").alias("df"))
+            .write.parquet(os.path.join(staging, "term_dict"))
+        )
 
-    dl_df = tf_rows.groupBy("doc_id").agg(F.max("dl").alias("dl"), F.max("norm").alias("norm"))
-    (
-        with_ids.select("doc_id", "conv_id", "turn_idx")
-        .join(dl_df, "doc_id", "left")
-        .fillna(0, subset=["dl", "norm"])
-        .write.mode("append")
-        .parquet(man.stage_path("doc_stats"))
-    )
+        agg = with_ids.agg(
+            F.count("*").alias("rows"),
+            F.count(F.when(F.col("dl") > 0, 1)).alias("n"),
+            F.sum("dl").alias("total"),
+        ).collect()[0]
+        n_batch = int(agg["rows"])
+    finally:
+        with_ids.unpersist(blocking=False)
 
-    # every batch becomes one fresh split per term: doc ranges are
-    # disjoint from all prior rows by construction (ids ≥ base)
-    postings = (
-        tf_rows.withColumn("split_id", F.lit(batch_seq * 1_000_000))
-        .groupBy("term", "split_id")
-        .applyInPandas(_encode_group(int(man.params.get("block_size", 128)), num_parts), POSTINGS_SCHEMA)
-    )
-    postings.repartition(max(1, num_parts // 4), "part").write.mode("append").partitionBy(
-        "part"
-    ).parquet(man.stage_path("postings"))
+    # publish: move staged files into the live tables, then commit the
+    # manifest (readers racing the moves may briefly see uncommitted
+    # docs with stale stats; a crash here is repaired by the retry path)
+    for t in _TABLES:
+        _move_staged(os.path.join(staging, t), man.stage_path(t), tag)
+    shutil.rmtree(os.path.join(index_dir, "_staging", tag), ignore_errors=True)
 
-    agg = dl_df.agg(F.count("*"), F.sum("dl")).collect()[0]
-    n_batch = with_ids.count()
-    tf_rows.unpersist(blocking=False)
+    if batch_id is not None:
+        committed.append(int(batch_id))
     man.set_stats(
         n_rows=base + n_batch,
         max_doc_id=base + n_batch - 1,
-        n_docs=int(man.stats["n_docs"]) + int(agg[0] or 0),
-        total_tokens=int(man.stats["total_tokens"]) + int(agg[1] or 0),
+        n_docs=int(man.stats["n_docs"]) + int(agg["n"] or 0),
+        total_tokens=int(man.stats["total_tokens"]) + int(agg["total"] or 0),
         ingest_batches=batch_seq,
+        committed_batch_ids=committed,
     )
     man.commit_stage(f"ingest_{batch_seq:06d}", rows=n_batch)
     return man
@@ -108,10 +195,10 @@ def stream_ingest(
     )
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        incremental_append(spark, index_dir, batch_df)
+        incremental_append(spark, index_dir, batch_df, batch_id=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(handle)

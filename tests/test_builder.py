@@ -101,3 +101,61 @@ def test_payload_invariant_to_input_partitioning(spark, corpus_sdf, index_dir):
 def test_param_mismatch_rejected(spark, corpus_sdf, index_dir):
     with pytest.raises(ValueError):
         IndexBuilder(spark, index_dir, num_parts=4).build(corpus_sdf, resume=True)
+
+
+def test_doc_index_carries_exact_dl_and_norm(spark, index_dir, corpus_pdf):
+    # dl/norm are JVM column expressions (Java regex + arithmetic
+    # SmallFloat); they must equal the Python tokenizer + codec exactly
+    from emailindexer_spark.functions.smallfloat import int_to_byte4
+    from emailindexer_spark.functions.tokenizer import tokenize
+
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "doc_index"))
+        .select("doc_id", "text", "dl", "norm")
+        .limit(500)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        dl = len(tokenize(r["text"]))
+        assert r["dl"] == dl, (r["doc_id"], r["dl"], dl)
+        assert r["norm"] == int_to_byte4(dl)
+
+
+def test_term_dict_matches_postings(spark, index_dir):
+    p = spark.read.parquet(os.path.join(index_dir, "postings"))
+    td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+    exp = {
+        (r["term"], r["part"]): r["df"]
+        for r in p.groupBy("term", "part").agg(F.sum("df_row").alias("df")).collect()
+    }
+    got = {(r["term"], r["part"]): r["df"] for r in td.collect()}
+    assert got == exp
+
+
+def test_prefix_plan_prunes_postings_partitions(spark, index_dir):
+    from emailindexer_spark.plans.parser import Prefix
+    from emailindexer_spark.plans.planner import SearchEngine
+
+    eng = SearchEngine(spark, index_dir)
+    assert eng.term_dict is not None
+    node = Prefix(prefix="t")
+    df = eng._leaf_df(node, {})
+    plan = df._jdf.queryExecution().toString()
+    # the postings scan must carry a partition filter (part IN ...), i.e.
+    # only term_dict-matched part= directories are read for a prefix
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "part#" in ln]
+    assert pf and _re.search(r"part#\d+L? IN \(", pf[0]), pf
+    # and the result equals the dictionary-less full-scan path
+    from emailindexer_spark.plans.planner import _decode_docs_only
+
+    full = eng.postings.where(F.col("term").startswith("t"))
+    exp = {
+        r["doc_id"]
+        for r in full.mapInPandas(_decode_docs_only(), "doc_id long").distinct().collect()
+    }
+    got = {r["doc_id"] for r in df.select("doc_id").collect()}
+    assert got == exp and got

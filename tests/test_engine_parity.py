@@ -93,3 +93,34 @@ def test_conversation_collapse_unique_convs(engine):
     rows = engine.search("qojema", k=20, mode="conversations").collect()
     convs = [r["conv_id"] for r in rows]
     assert len(convs) == len(set(convs))
+
+
+def test_phrase_positionless_fallback_matches(spark, corpus_sdf, oracle_ix, engine):
+    # an index built WITHOUT position payloads must answer phrases via
+    # the candidate+re-tokenize fallback, byte-for-byte the same results
+    import shutil
+    import tempfile
+
+    from emailindexer_spark.plans.builder import IndexBuilder
+
+    assert engine.positions  # the shared index uses the positions path
+    d = tempfile.mkdtemp(prefix="ix_nopos_")
+    try:
+        IndexBuilder(
+            spark, d, num_parts=8, heavy_df_threshold=500, split_target=400,
+            positions=False,
+        ).build(corpus_sdf)
+        nopos = SearchEngine(spark, d)
+        assert not nopos.positions
+        for q in ['"qojema qojema"', '"noza guka"']:
+            exp = [
+                (r["doc_id"], r["score"])
+                for r in engine.search(q, k=10, use_wand=False).collect()
+            ]
+            got = [
+                (r["doc_id"], r["score"])
+                for r in nopos.search(q, k=10, use_wand=False).collect()
+            ]
+            _assert_match(got, exp, f"fallback:{q}")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -105,6 +105,31 @@ class TestSmallFloat:
             assert q == byte4_to_int(int_to_byte4(dl)), dl
 
 
+class TestPositionsCodec:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=6),  # tf
+                st.integers(min_value=0, max_value=4000),  # base pos
+            ),
+            min_size=0,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_roundtrip_segmented(self, docs):
+        from emailindexer_spark.functions.codec import (
+            decode_positions,
+            encode_positions,
+        )
+
+        tfs = np.array([t for t, _ in docs], dtype=np.int64)
+        segs = [np.sort(b + np.arange(t) * 2) for t, b in docs]
+        flat = np.concatenate(segs) if segs else np.empty(0, dtype=np.int64)
+        got = decode_positions(encode_positions(flat, tfs), tfs)
+        assert got.tolist() == flat.tolist()
+
+
 class TestVarbyte:
     @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
     @settings(max_examples=200, deadline=None)
