@@ -63,6 +63,68 @@ def _sqlist(terms: list[str]) -> str:
     return ", ".join(f"'{t}'" for t in terms)
 
 
+def _mf_sql(text_terms: list[str], role_terms: list[str], k: int) -> str:
+    """Two-field (text + role) BM25 oracle: per-field df/N/avgdl/norms,
+    scores summed across fields.  role is a 1-token field: dl=norm=1,
+    avgdl exactly 1.0, so its BM25 partial is idf_role / 2.2."""
+    tt = _sqlist(sorted(set(text_terms)))
+    rt = _sqlist(sorted(set(role_terms)))
+    return f"""
+WITH transcripts AS (
+  SELECT 'c' || lpad(CAST(doc_id % 128 AS VARCHAR), 4, '0') AS conv_id,
+         CAST(row_number() OVER (PARTITION BY (doc_id % 128) ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
+         text,
+         (['user','assistant','tool'])[CAST(doc_id % 3 AS INT) + 1] AS role
+  FROM documents
+),
+docs AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, turn_idx, text, role
+  FROM transcripts
+),
+tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM docs
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM tokens GROUP BY 1, 2),
+dl AS (
+  SELECT doc_id, count(*) AS dl,
+         CASE WHEN count(*) < 32 THEN count(*)
+              ELSE 24 + (((count(*) - 24) >> (CAST(floor(log2(count(*) - 24)) AS INT) - 3))
+                         << (CAST(floor(log2(count(*) - 24)) AS INT) - 3))
+         END AS dlq
+  FROM tokens GROUP BY doc_id
+),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+rstats AS (SELECT count(*) AS n FROM docs),
+rdf AS (SELECT role, count(*) AS df FROM docs WHERE role IN ({rt}) GROUP BY role),
+tscore AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * tf.tf /
+             (tf.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl))) AS s
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s JOIN dl q ON q.doc_id = tf.doc_id
+  WHERE tf.term IN ({tt})
+  GROUP BY tf.doc_id
+),
+rscore AS (
+  SELECT d.doc_id,
+         sum(ln(1 + (rs.n - x.df + 0.5) / (x.df + 0.5)) *
+             (1.0 / (1.0 + 1.2 * (0.25 + 0.75 * 1.0 / 1.0)))) AS s
+  FROM docs d JOIN rdf x ON d.role = x.role CROSS JOIN rstats rs
+  GROUP BY d.doc_id
+),
+sc AS (
+  SELECT COALESCE(t.doc_id, r.doc_id) AS doc_id,
+         COALESCE(t.s, 0) + COALESCE(r.s, 0) AS score
+  FROM tscore t FULL OUTER JOIN rscore r ON t.doc_id = r.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY sc.score DESC, dd.doc_id) AS INT) AS rank,
+       dd.doc_id, dd.conv_id, dd.turn_idx, round(sc.score, 4) AS score
+FROM sc JOIN docs dd USING (doc_id)
+WHERE sc.score > 0
+ORDER BY sc.score DESC, dd.doc_id LIMIT {k}"""
+
+
 def _bm25_sql(
     scoring: list[str],
     k: int,
@@ -123,21 +185,25 @@ ORDER BY score DESC, doc_id LIMIT {k}"""
 # Spark-side helpers
 # --------------------------------------------------------------------------
 
-_ENGINE_CACHE: dict[str, SearchEngine] = {}
+_ENGINE_CACHE: dict[tuple[str, tuple[str, ...]], SearchEngine] = {}
 
 
-def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
-    key = os.path.abspath(sf_dir)
+def _engine_for(
+    spark: SparkSession, sf_dir: str, fields: tuple[str, ...] = ("text",)
+) -> SearchEngine:
+    key = (os.path.abspath(sf_dir), fields)
     if key not in _ENGINE_CACHE:
         from emailindexer_spark import __version__
 
         # engine version in the cache path: a /tmp index built by older
         # code must not satisfy a newer contract run
+        suffix = "" if len(fields) == 1 else "_mf_" + "_".join(fields[1:])
         ix_dir = os.path.join(
             tempfile.gettempdir(),
-            f"eisx_index_v{__version__}_" + key.strip("/").replace("/", "_"),
+            f"eisx_index_v{__version__}_" + key[0].strip("/").replace("/", "_") + suffix,
         )
-        if not os.path.exists(os.path.join(ix_dir, "_snapshots", "manifest.json")):
+
+        def _build():
             IndexBuilder(
                 spark,
                 ix_dir,
@@ -145,7 +211,11 @@ def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
                 heavy_df_threshold=200,
                 split_target=150,
                 simple_tokens=True,
+                fields=fields,
             ).build(derived_transcripts(spark, sf_dir))
+
+        if not os.path.exists(os.path.join(ix_dir, "_snapshots", "manifest.json")):
+            _build()
         try:
             _ENGINE_CACHE[key] = SearchEngine(spark, ix_dir)
         except ValueError:
@@ -153,10 +223,7 @@ def _engine_for(spark: SparkSession, sf_dir: str) -> SearchEngine:
             import shutil
 
             shutil.rmtree(ix_dir, ignore_errors=True)
-            IndexBuilder(
-                spark, ix_dir, num_parts=8, heavy_df_threshold=200,
-                split_target=150, simple_tokens=True,
-            ).build(derived_transcripts(spark, sf_dir))
+            _build()
             _ENGINE_CACHE[key] = SearchEngine(spark, ix_dir)
     return _ENGINE_CACHE[key]
 
@@ -165,6 +232,18 @@ def _q_bm25(query: str, k: int, mode: str = "turns", wand: bool | None = False):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine_for(spark, sf_dir)
         out = eng.search(query, k=k, mode=mode, use_wand=wand)
+        return out.withColumn("score", F.round("score", 4))
+
+    return fn
+
+
+def _q_bm25_mf(query: str, k: int, mode: str = "turns"):
+    """Query against the TWO-FIELD index (text + role): per-field
+    df/N/norms/avgdl, bare terms search both fields and sum."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = _engine_for(spark, sf_dir, fields=("text", "role"))
+        out = eng.search(query, k=k, mode=mode, use_wand=False)
         return out.withColumn("score", F.round("score", 4))
 
     return fn
@@ -251,6 +330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return eng.search('"table hash"', k=15).withColumn("score", F.round("score", 4))
 
     q["bm25_phrase"] = bm25_phrase
+
+    # ---------------- multi-field (per-field stats, §2.9 / MultiField) ------
+    q["bm25_mf_field"] = _q_bm25_mf("role:assistant dup", 15)
+    q["bm25_mf_bare"] = _q_bm25_mf("assistant dup", 15)
 
     # ---------------- relational filters / sorts / counts (§2.2-§2.6) -------
     def rel_date_page(spark, sf_dir):
@@ -585,6 +668,11 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_not"] = _bm25_sql(["dup"], 10, nots=["window"])
     o["bm25_absent"] = _bm25_sql(["zzzzmissing", "dup"], 10)
     o["bm25_conversations"] = _bm25_sql(["dup", "spark"], 10, mode="conversations")
+
+    # multi-field: "role:assistant dup" routes the first leaf; the bare
+    # query searches BOTH fields per leaf (role:dup has df 0 → no rows)
+    o["bm25_mf_field"] = _mf_sql(["dup"], ["assistant"], 15)
+    o["bm25_mf_bare"] = _mf_sql(["assistant", "dup"], ["assistant", "dup"], 15)
 
     o["bm25_prefix"] = f"""{_BM25_PRELUDE},
 pdocs AS (SELECT DISTINCT doc_id FROM tokens WHERE term LIKE 'du%')

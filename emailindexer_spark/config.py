@@ -43,7 +43,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver IS the executor — size the heap for
+        # task-count × task-working-set, not for a thin coordinator
+        # (8g with 32 concurrent decode/encode tasks GC-thrashes)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "28g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # dense text compresses ~5-10x in parquet: the default 128 MB split

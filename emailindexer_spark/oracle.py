@@ -45,80 +45,141 @@ from emailindexer_spark.plans.parser import (
 
 @dataclass
 class OracleIndex:
-    postings: dict[str, dict[int, int]]  # term -> {doc_id: tf}
-    positions: dict[str, dict[int, list[int]]]  # term -> {doc_id: [pos]}
-    norm_dl: list[int]  # decoded lossy doc length per doc
+    postings: dict[str, dict[int, int]]  # KEY -> {doc_id: tf}
+    positions: dict[str, dict[int, list[int]]]  # KEY -> {doc_id: [pos]}
+    field_norm_dl: dict[str, list[int]]  # field -> decoded lossy dl per doc
+    field_stats: dict[str, tuple[int, float]]  # field -> (n_docs, avgdl)
     conv_of: list[str]
-    n_docs: int
-    avgdl: float
+    fields: tuple[str, ...]  # fields[0] = default field
+
+    # legacy single-field accessors (default field)
+    @property
+    def norm_dl(self) -> list[int]:
+        return self.field_norm_dl[self.fields[0]]
+
+    @property
+    def n_docs(self) -> int:
+        return self.field_stats[self.fields[0]][0]
+
+    @property
+    def avgdl(self) -> float:
+        return self.field_stats[self.fields[0]][1]
+
+    def key(self, field: str, term: str) -> str:
+        """Per-field posting key: the default field owns the bare term
+        namespace; other fields are prefixed ``field:term`` (one shared
+        sorted term space — Lucene's per-field terms dictionaries
+        flattened into one)."""
+        return term if field == self.fields[0] else f"{field}:{term}"
+
+
+def build_oracle_index_fields(
+    rows: list[tuple[str, int, dict[str, str]]],
+    fields: tuple[str, ...],
+    simple: bool = False,
+    sort: bool = True,
+) -> OracleIndex:
+    """rows: (conv_id, turn_idx, {field: text}); docID = rank in sorted
+    order.  Per-field df/norms/avgdl, exactly Lucene's per-field stats."""
+    if sort:
+        rows = sorted(rows, key=lambda r: (r[0], r[1]))
+    postings: dict[str, dict[int, int]] = {}
+    positions: dict[str, dict[int, list[int]]] = {}
+    field_norm_dl: dict[str, list[int]] = {f: [] for f in fields}
+    conv_of: list[str] = []
+    totals = {f: 0 for f in fields}
+    for doc_id, (conv_id, _ti, texts) in enumerate(rows):
+        conv_of.append(conv_id)
+        for fi, f in enumerate(fields):
+            toks = tokenize(texts.get(f) or "", simple=simple)
+            totals[f] += len(toks)
+            field_norm_dl[f].append(byte4_to_int(int_to_byte4(len(toks))))
+            pref = "" if fi == 0 else f + ":"
+            for pos, t in enumerate(toks):
+                positions.setdefault(pref + t, {}).setdefault(doc_id, []).append(pos)
+            for t, tf in Counter(toks).items():
+                postings.setdefault(pref + t, {})[doc_id] = tf
+    # Lucene docCount / avgdl (sumTotalTermFreq/docCount) count only docs
+    # with at least one token for the field — match that exactly.
+    field_stats = {}
+    for f in fields:
+        n = sum(1 for d in field_norm_dl[f] if d > 0)
+        field_stats[f] = (n, (totals[f] / n) if n else 0.0)
+    return OracleIndex(postings, positions, field_norm_dl, field_stats, conv_of, tuple(fields))
 
 
 def build_oracle_index(
     rows: list[tuple[str, int, str]], simple: bool = False, sort: bool = True
 ) -> OracleIndex:
-    """rows: (conv_id, turn_idx, text); docID = rank in sorted order.
-    ``sort=False`` keeps the given order (streaming-append semantics:
-    docID = insertion order, like Lucene)."""
-    if sort:
-        rows = sorted(rows, key=lambda r: (r[0], r[1]))
-    postings: dict[str, dict[int, int]] = {}
-    positions: dict[str, dict[int, list[int]]] = {}
-    norm_dl: list[int] = []
-    conv_of: list[str] = []
-    total_len = 0
-    for doc_id, (conv_id, _ti, text) in enumerate(rows):
-        toks = tokenize(text, simple=simple)
-        total_len += len(toks)
-        norm_dl.append(byte4_to_int(int_to_byte4(len(toks))))
-        conv_of.append(conv_id)
-        for pos, t in enumerate(toks):
-            positions.setdefault(t, {}).setdefault(doc_id, []).append(pos)
-        for t, tf in Counter(toks).items():
-            postings.setdefault(t, {})[doc_id] = tf
-    # Lucene docCount / avgdl (sumTotalTermFreq/docCount) count only docs
-    # with at least one token for the field — match that exactly.
-    n = sum(1 for d in norm_dl if d > 0)
-    return OracleIndex(
-        postings, positions, norm_dl, conv_of, n, (total_len / n) if n else 0.0
+    """Single-field convenience: rows (conv_id, turn_idx, text)."""
+    return build_oracle_index_fields(
+        [(c, t, {"text": x}) for c, t, x in rows], ("text",), simple=simple, sort=sort
     )
 
 
-def _bm25(ix: OracleIndex, tf: int, doc_id: int, idf_val: float) -> float:
-    dl = ix.norm_dl[doc_id]
-    return idf_val * tf / (tf + K1 * (1.0 - B + B * dl / ix.avgdl))
+def _bm25(ix: OracleIndex, field: str, tf: int, doc_id: int, idf_val: float) -> float:
+    dl = ix.field_norm_dl[field][doc_id]
+    avgdl = ix.field_stats[field][1]
+    return idf_val * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _fields_for(ix: OracleIndex, field: str | None) -> list[str]:
+    if field is None:
+        # bare leaves search ALL indexed fields (MultiFieldQueryParser)
+        return list(ix.fields)
+    if field not in ix.fields:
+        from emailindexer_spark.plans.parser import QueryParseError
+
+        raise QueryParseError(
+            f"unknown field {field!r}; indexed fields: {', '.join(ix.fields)}"
+        )
+    return [field]
 
 
 def _score_leaf(ix: OracleIndex, node: Node) -> dict[int, float]:
-    """doc_id -> score for one leaf clause."""
+    """doc_id -> score for one leaf clause (summed over matched fields)."""
+    out: dict[int, float] = {}
     if isinstance(node, Term):
-        plist = ix.postings.get(node.text, {})
-        iv = float(_idf(len(plist), ix.n_docs))
-        return {d: node.boost * _bm25(ix, tf, d, iv) for d, tf in plist.items()}
+        for f in _fields_for(ix, node.field):
+            plist = ix.postings.get(ix.key(f, node.text), {})
+            n_f = ix.field_stats[f][0]
+            iv = float(_idf(len(plist), n_f))
+            for d, tf in plist.items():
+                out[d] = out.get(d, 0.0) + node.boost * _bm25(ix, f, tf, d, iv)
+        return out
     if isinstance(node, Prefix):
-        docs: set[int] = set()
-        for t, plist in ix.postings.items():
-            if t.startswith(node.prefix):
-                docs.update(plist)
-        return {d: 1.0 * node.boost for d in docs}
+        # constant score PER FIELD clause (a doc matching the prefix in
+        # two fields sums two 1.0*boost clauses — BooleanQuery of
+        # per-field CONSTANT_SCORE rewrites)
+        for f in _fields_for(ix, node.field):
+            kpre = ix.key(f, node.prefix)
+            docs: set[int] = set()
+            for t, plist in ix.postings.items():
+                if t.startswith(kpre) and (f == ix.fields[0]) == (":" not in t):
+                    docs.update(plist)
+            for d in docs:
+                out[d] = out.get(d, 0.0) + 1.0 * node.boost
+        return out
     if isinstance(node, Phrase):
-        # candidates must contain every term; verify adjacency by positions
-        termsets = [ix.positions.get(t, {}) for t in node.terms]
-        if any(not ts for ts in termsets):
-            return {}
-        cand = set(termsets[0])
-        for ts in termsets[1:]:
-            cand &= set(ts)
-        iv = sum(float(_idf(len(ix.postings[t]), ix.n_docs)) for t in node.terms)
-        out: dict[int, float] = {}
-        for d in cand:
-            possets = [set(ts[d]) for ts in termsets]
-            freq = sum(
-                1
-                for p in termsets[0][d]
-                if all((p + i) in possets[i] for i in range(1, len(possets)))
-            )
-            if freq:
-                out[d] = node.boost * _bm25(ix, freq, d, iv)
+        for f in _fields_for(ix, node.field):
+            keys = [ix.key(f, t) for t in node.terms]
+            termsets = [ix.positions.get(k, {}) for k in keys]
+            if any(not ts for ts in termsets):
+                continue
+            cand = set(termsets[0])
+            for ts in termsets[1:]:
+                cand &= set(ts)
+            n_f = ix.field_stats[f][0]
+            iv = sum(float(_idf(len(ix.postings[k]), n_f)) for k in keys)
+            for d in cand:
+                possets = [set(ts[d]) for ts in termsets]
+                freq = sum(
+                    1
+                    for p in termsets[0][d]
+                    if all((p + i) in possets[i] for i in range(1, len(possets)))
+                )
+                if freq:
+                    out[d] = out.get(d, 0.0) + node.boost * _bm25(ix, f, freq, d, iv)
         return out
     raise TypeError(type(node))
 

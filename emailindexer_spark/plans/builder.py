@@ -60,7 +60,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from emailindexer_spark.functions.codec import BLOCK_SIZE, encode_blocks, encode_positions
+from emailindexer_spark.functions.codec import (
+    BLOCK_SIZE,
+    encode_blocks,
+    varbyte_encode_segments,
+)
 from emailindexer_spark.functions.sanitize import remove_quoted_replies
 from emailindexer_spark.functions.smallfloat import encode_lengths, norm_byte_expr
 from emailindexer_spark.functions.tokenizer import dl_expr, tokenize_series
@@ -78,7 +82,8 @@ POSTINGS_SCHEMA = (
 )
 
 TF_SCHEMA = "doc_id long, term string, tf int, dl int, norm int"
-TF_SCHEMA_POS = TF_SCHEMA + ", pos array<int>"
+#: positions ride as pre-encoded segmented delta+varbyte bytes per row
+TF_SCHEMA_POS = TF_SCHEMA + ", pos binary"
 
 
 def ensure_parallelism(df: DataFrame, target: int) -> DataFrame:
@@ -110,66 +115,84 @@ def term_part_py(term: str, num_parts: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % num_parts
 
 
-def _tokenize_to_tf_rows(simple: bool, positions: bool = False):
-    """mapInPandas: (doc_id, text) batches → (doc_id, term, tf, dl, norm
-    [, pos]).  With ``positions``, each row additionally carries the
-    doc's ascending token positions for that term (array<int>)."""
+def _tokenize_to_tf_rows(simple: bool, positions: bool = False, fields: tuple[str, ...] = ("text",)):
+    """mapInPandas: (doc_id, <fields...>) batches → (doc_id, term, tf,
+    dl, norm[, pos]).  With ``positions``, each row additionally carries
+    the doc's ascending token positions for that term, PRE-ENCODED as
+    segmented delta+varbyte bytes (the posting encoder assembles block
+    payloads by concatenation).  Non-default fields emit FIELD-PREFIXED
+    term keys (``field:term``) with that field's own dl/norm — one
+    shared term space carrying per-field statistics (Lucene's per-field
+    terms dicts flattened)."""
+
+    def one_field(pdf: pd.DataFrame, col: str, prefix: str) -> pd.DataFrame | None:
+        toks = tokenize_series(pdf[col], simple=simple)
+        nlens = toks.str.len().to_numpy(dtype=np.int64)
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        if nlens.sum() == 0:
+            return None
+        flat_docs = np.repeat(doc_ids, nlens)
+        flat_terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
+        if prefix:
+            flat_terms = (prefix + pd.Series(flat_terms)).to_numpy()
+        dl_map = pd.Series(nlens, index=doc_ids)
+        if not positions:
+            grouped = (
+                pd.DataFrame({"doc_id": flat_docs, "term": flat_terms})
+                .groupby(["doc_id", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            dl = dl_map.reindex(grouped["doc_id"]).to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": grouped["doc_id"],
+                    "term": grouped["term"],
+                    "tf": grouped["tf"].astype("int32"),
+                    "dl": dl.astype("int32"),
+                    "norm": encode_lengths(dl).astype("int32"),
+                }
+            )
+        starts = np.concatenate(([0], np.cumsum(nlens[:-1])))
+        flat_pos = np.arange(int(nlens.sum()), dtype=np.int64) - np.repeat(starts, nlens)
+        # numeric lexsort over factorized terms (string sort is the
+        # slow path); positions stay ascending within each group
+        codes, uniques = pd.factorize(flat_terms)
+        order = np.lexsort((flat_pos, codes, flat_docs))
+        dv, cv, pv = flat_docs[order], codes[order], flat_pos[order]
+        change = np.nonzero((dv[1:] != dv[:-1]) | (cv[1:] != cv[:-1]))[0] + 1
+        gstarts = np.concatenate(([0], change))
+        tf = np.diff(np.concatenate((gstarts, [dv.size])))
+        # pre-encode each group's positions as segmented delta+varbyte —
+        # the posting encoder assembles blocks by CONCATENATION, and the
+        # Arrow/shuffle payload is one compact binary per row
+        d = np.diff(pv, prepend=0)
+        d[gstarts] = pv[gstarts]
+        pos_bufs = varbyte_encode_segments(d.astype(np.uint64), gstarts)
+        gdocs = dv[gstarts]
+        dl = dl_map.reindex(gdocs).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": gdocs,
+                "term": uniques[cv[gstarts]],
+                "tf": tf.astype("int32"),
+                "dl": dl.astype("int32"),
+                "norm": encode_lengths(dl).astype("int32"),
+                "pos": pos_bufs,
+            }
+        )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            toks = tokenize_series(pdf["text"], simple=simple)
-            nlens = toks.str.len().to_numpy(dtype=np.int64)
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            if nlens.sum() == 0:
-                continue
-            flat_docs = np.repeat(doc_ids, nlens)
-            flat_terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
-            dl_map = pd.Series(nlens, index=doc_ids)
-            if not positions:
-                grouped = (
-                    pd.DataFrame({"doc_id": flat_docs, "term": flat_terms})
-                    .groupby(["doc_id", "term"], sort=False)
-                    .size()
-                    .reset_index(name="tf")
-                )
-                dl = dl_map.reindex(grouped["doc_id"]).to_numpy(dtype=np.int64)
-                yield pd.DataFrame(
-                    {
-                        "doc_id": grouped["doc_id"],
-                        "term": grouped["term"],
-                        "tf": grouped["tf"].astype("int32"),
-                        "dl": dl.astype("int32"),
-                        "norm": encode_lengths(dl).astype("int32"),
-                    }
-                )
-                continue
-            starts = np.concatenate(([0], np.cumsum(nlens[:-1])))
-            flat_pos = (
-                np.arange(int(nlens.sum()), dtype=np.int64) - np.repeat(starts, nlens)
-            ).astype(np.int32)
-            fd = pd.DataFrame(
-                {"doc_id": flat_docs, "term": flat_terms, "pos": flat_pos}
-            )
-            # stable sort keeps positions ascending within each group
-            fd.sort_values(["doc_id", "term"], kind="stable", inplace=True, ignore_index=True)
-            dv = fd["doc_id"].to_numpy()
-            tv = fd["term"].to_numpy()
-            change = np.nonzero((dv[1:] != dv[:-1]) | (tv[1:] != tv[:-1]))[0] + 1
-            gstarts = np.concatenate(([0], change))
-            tf = np.diff(np.concatenate((gstarts, [len(fd)])))
-            pos_lists = np.split(fd["pos"].to_numpy(), change)
-            gdocs = dv[gstarts]
-            dl = dl_map.reindex(gdocs).to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": gdocs,
-                    "term": tv[gstarts],
-                    "tf": tf.astype("int32"),
-                    "dl": dl.astype("int32"),
-                    "norm": encode_lengths(dl).astype("int32"),
-                    "pos": pos_lists,
-                }
-            )
+            frames = []
+            for fi, f in enumerate(fields):
+                got = one_field(pdf, f, "" if fi == 0 else f + ":")
+                if got is not None:
+                    frames.append(got)
+            if len(frames) == 1:
+                yield frames[0]
+            elif frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return gen
 
@@ -186,14 +209,13 @@ def _encode_one(term: str, split_id: int, pdf: pd.DataFrame, block_size: int, nu
         block_size=block_size,
     )
     if "pos" in pdf.columns:
-        pos_concat = np.concatenate(list(pdf["pos"].to_numpy()[order])).astype(np.int64)
-        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
-        b_pos = []
-        for i in range(len(eb.n)):
-            s, e = i * block_size, min((i + 1) * block_size, docs.size)
-            b_pos.append(
-                encode_positions(pos_concat[tf_cum[s] : tf_cum[e]], tfs[s:e])
-            )
+        # rows carry pre-encoded per-doc position payloads (tokenizer) —
+        # a block's payload is just their concatenation in doc order
+        bufs = pdf["pos"].to_numpy()[order]
+        b_pos = [
+            b"".join(bufs[i * block_size : min((i + 1) * block_size, docs.size)])
+            for i in range(len(eb.n))
+        ]
     else:
         b_pos = [b""] * len(eb.n)
     return {
@@ -298,6 +320,7 @@ class IndexBuilder:
         docid_method: str = "two_phase",
         heavy_sample_docs: int = 50_000,
         positions: bool = True,
+        fields: tuple[str, ...] = ("text",),
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -314,6 +337,12 @@ class IndexBuilder:
         # EmailIndexGenerator.java:85-88): default on for parity; phrase
         # queries intersect indexed positions instead of re-tokenizing text
         self.positions = positions
+        # indexed fields, fields[0] = default (owns the bare-term key
+        # space).  The reference indexes subject+body with independent
+        # per-field stats summed at query time (EmailIndexSearcher.java:
+        # 49-53, EmailIndexGenerator.java:90-91); here any input column
+        # can be a field, e.g. ("text", "role").
+        self.fields = tuple(fields)
 
     def _params(self) -> dict:
         return {
@@ -324,6 +353,7 @@ class IndexBuilder:
             "simple_tokens": self.simple_tokens,
             "sanitize": self.sanitize,
             "positions": self.positions,
+            "fields": list(self.fields),
         }
 
     def build(self, transcripts: DataFrame, resume: bool = False) -> Manifest:
@@ -352,8 +382,14 @@ class IndexBuilder:
             if self.sanitize:
                 clean = F.pandas_udf(remove_quoted_replies, "string")
                 df = df.withColumn("text", clean(F.col("text")))
-            df = df.withColumn("dl", dl_expr(F.col("text"), self.simple_tokens))
-            df = df.withColumn("norm", norm_byte_expr(F.col("dl")))
+            extra_cols: list[str] = []
+            for fi, fld in enumerate(self.fields):
+                dcol = "dl" if fi == 0 else f"dl_{fld}"
+                ncol = "norm" if fi == 0 else f"norm_{fld}"
+                df = df.withColumn(dcol, dl_expr(F.col(fld), self.simple_tokens))
+                df = df.withColumn(ncol, norm_byte_expr(F.col(dcol)))
+                if fi:
+                    extra_cols += [dcol, ncol]
             # doc_ids correlate with conv order, so sorting within
             # partitions still yields tight per-row-group doc_id min/max
             # stats for lookup pruning.  Corpus scalars (Lucene docCount/
@@ -362,17 +398,19 @@ class IndexBuilder:
             from pyspark.sql import Observation
 
             obs = Observation("build_stats")
+            obs_aggs = [F.count(F.lit(1)).alias("rows")]
+            for fi, fld in enumerate(self.fields):
+                dcol = "dl" if fi == 0 else f"dl_{fld}"
+                obs_aggs.append(
+                    F.count(F.when(F.col(dcol) > 0, 1)).alias(f"n_{fld}")
+                )
+                obs_aggs.append(F.sum(dcol).alias(f"total_{fld}"))
             (
                 df.select(
                     "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                    "text", "dl", "norm",
+                    "text", "dl", "norm", *extra_cols,
                 )
-                .observe(
-                    obs,
-                    F.count(F.lit(1)).alias("rows"),
-                    F.count(F.when(F.col("dl") > 0, 1)).alias("n"),
-                    F.sum("dl").alias("total"),
-                )
+                .observe(obs, *obs_aggs)
                 .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
                 .parquet(man.stage_path("doc_index"))
@@ -380,11 +418,19 @@ class IndexBuilder:
             for p in pins:
                 p.unpersist(blocking=False)
             m = obs.get
+            f0 = self.fields[0]
             man.set_stats(
-                n_docs=int(m["n"] or 0),
-                total_tokens=int(m["total"] or 0),
+                n_docs=int(m[f"n_{f0}"] or 0),
+                total_tokens=int(m[f"total_{f0}"] or 0),
                 n_rows=int(m["rows"]),
                 max_doc_id=int(m["rows"]) - 1,
+                field_stats={
+                    fld: {
+                        "n_docs": int(m[f"n_{fld}"] or 0),
+                        "total_tokens": int(m[f"total_{fld}"] or 0),
+                    }
+                    for fld in self.fields
+                },
             )
             man.commit_stage("doc_index", seconds=round(time.time() - t0, 2))
         doc_index = self.spark.read.parquet(man.stage_path("doc_index"))
@@ -394,8 +440,13 @@ class IndexBuilder:
         # norms-table contract at ~1% of the doc_index bytes
         if not man.is_complete("doc_stats"):
             t0 = time.time()
+            stat_cols = ["doc_id", "conv_id", "turn_idx", "dl", "norm"] + [
+                c
+                for fld in self.fields[1:]
+                for c in (f"dl_{fld}", f"norm_{fld}")
+            ]
             (
-                doc_index.select("doc_id", "conv_id", "turn_idx", "dl", "norm")
+                doc_index.select(*stat_cols)
                 .repartitionByRange(self.num_parts, "doc_id")
                 .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
@@ -429,14 +480,14 @@ class IndexBuilder:
             # (mod == 1 → exact full pass; doc_ids are dense so the
             # sample is uniform, partition-invariant and reproducible)
             sample_mod = min(max(1, n_rows // self.heavy_sample_docs), 4096)
-            src = doc_index.select("doc_id", "text")
+            src = doc_index.select("doc_id", *self.fields)
             sample_src = (
                 src.where(F.pmod(F.col("doc_id"), F.lit(sample_mod)) == 0)
                 if sample_mod > 1
                 else src
             )
             sample_tf = ensure_parallelism(sample_src, par_target).mapInPandas(
-                _tokenize_to_tf_rows(self.simple_tokens), TF_SCHEMA
+                _tokenize_to_tf_rows(self.simple_tokens, fields=self.fields), TF_SCHEMA
             )
             heavy = (
                 sample_tf.groupBy("term")
@@ -451,7 +502,9 @@ class IndexBuilder:
             # ONE full tokenize pass feeding the wide shuffle directly —
             # no persist: the token stream is never stored or re-read
             tf_rows = ensure_parallelism(src, par_target).mapInPandas(
-                _tokenize_to_tf_rows(self.simple_tokens, positions=self.positions),
+                _tokenize_to_tf_rows(
+                    self.simple_tokens, positions=self.positions, fields=self.fields
+                ),
                 TF_SCHEMA_POS if self.positions else TF_SCHEMA,
             )
             rows = tf_rows.join(F.broadcast(heavy), "term", "left").withColumn(

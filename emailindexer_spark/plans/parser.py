@@ -42,16 +42,19 @@ class Node:
 @dataclass
 class Term(Node):
     text: str = ""
+    field: str | None = None  # None = query the index's default field set
 
 
 @dataclass
 class Phrase(Node):
     terms: tuple[str, ...] = ()
+    field: str | None = None
 
 
 @dataclass
 class Prefix(Node):
     prefix: str = ""
+    field: str | None = None
 
 
 @dataclass
@@ -83,6 +86,13 @@ def _lex(q: str) -> list[str]:
             j = i
             while j < n and not q[j].isspace() and q[j] not in '()"':
                 j += 1
+            # `field:"a phrase"` — keep the quoted body attached to the
+            # field prefix as ONE token
+            if j < n and q[j] == '"' and q[j - 1] == ":":
+                k = q.find('"', j + 1)
+                if k < 0:
+                    raise QueryParseError(f"unterminated phrase in {q!r}")
+                j = k + 1
             out.append(q[i:j])
             i = j
     return out
@@ -98,31 +108,40 @@ def _strip_boost(tok: str) -> tuple[str, float]:
     return tok, 1.0
 
 
+import re as _re
+
+_FIELD_RE = _re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", _re.DOTALL)
+
+
 def _leaf(tok: str, simple: bool) -> Node | None:
     tok, boost = _strip_boost(tok)
-    # single-field engine: accept and strip a `field:` prefix
-    if ":" in tok:
-        tok = tok.split(":", 1)[1]
+    # `field:term` routes to that field (validated against the index's
+    # field list at planning time — unknown fields raise there, they are
+    # never silently stripped)
+    field: str | None = None
+    m = _FIELD_RE.match(tok)
+    if m:
+        field, tok = m.group(1), m.group(2)
     if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
         terms = tuple(tokenize(tok[1:-1], simple=simple))
         if not terms:
             return None
         if len(terms) == 1:
-            return Term(boost=boost, text=terms[0])
-        return Phrase(boost=boost, terms=terms)
+            return Term(boost=boost, text=terms[0], field=field)
+        return Phrase(boost=boost, terms=terms, field=field)
     if tok.endswith("*") and len(tok) > 1:
         pre = tokenize(tok[:-1], simple=simple)
         if len(pre) != 1:
             return None
-        return Prefix(boost=boost, prefix=pre[0])
+        return Prefix(boost=boost, prefix=pre[0], field=field)
     toks = tokenize(tok, simple=simple)
     if not toks:
         return None
     if len(toks) == 1:
-        return Term(boost=boost, text=toks[0])
+        return Term(boost=boost, text=toks[0], field=field)
     # one input word analyzed into several tokens (e.g. "a1.b") → phrase,
     # matching Lucene classic-parser behavior for multi-token analysis
-    return Phrase(boost=boost, terms=tuple(toks))
+    return Phrase(boost=boost, terms=tuple(toks), field=field)
 
 
 def _reject_unsupported(tok: str) -> None:
@@ -135,6 +154,9 @@ def _reject_unsupported(tok: str) -> None:
     """
     if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
         return
+    m = _FIELD_RE.match(tok)
+    if m and m.group(2).startswith('"') and m.group(2).endswith('"'):
+        return  # field:"quoted phrase" — analyzed text
     body, _ = _strip_boost(tok)
     if "~" in body:
         raise QueryParseError(

@@ -59,8 +59,11 @@ TERM_SCORE_SCHEMA = "term string, doc_id long, score double"
 RESULT_COLS = ["rank", "doc_id", "conv_id", "turn_idx", "score"]
 
 
-def _decode_score_rows(idf_map: dict[str, float], avgdl: float):
-    """mapInPandas over posting rows → (term, doc_id, score)."""
+def _decode_score_rows(idf_map: dict[str, float], avgdl: float, avgdl_map: dict[str, float] | None = None):
+    """mapInPandas over posting rows → (term, doc_id, score).
+
+    ``avgdl_map`` overrides the default-field avgdl per KEY for
+    field-prefixed keys (per-field BM25 statistics)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -69,9 +72,10 @@ def _decode_score_rows(idf_map: dict[str, float], avgdl: float):
                 iv = idf_map.get(r.term)
                 if iv is None:
                     continue
+                adl = avgdl_map.get(r.term, avgdl) if avgdl_map else avgdl
                 for i in range(len(r.b_docs)):
                     d, t, n = decode_block(int(r.b_first[i]), r.b_docs[i], r.b_tfs[i], r.b_norms[i])
-                    s = bm25.score_tf(t, n, avgdl, iv)
+                    s = bm25.score_tf(t, n, adl, iv)
                     docs.append(d)
                     scores.append(s)
                     terms.append(np.full(d.size, r.term, dtype=object))
@@ -150,23 +154,27 @@ def _phrase_score_fn(terms: tuple[str, ...], idf_sum: float, avgdl: float, simpl
     return gen
 
 
-POS_STREAM_SCHEMA = "doc_id long, pos long, slot int, norm int"
+POS_STREAM_SCHEMA = "doc_id long, slot int, tf int, pos binary, norm int"
 
 
 def _decode_positions_stream(phrase_terms: tuple[str, ...]):
-    """mapInPandas over posting rows (with b_pos) → (doc_id, pos, slot,
-    norm): slot i carries term i's positions shifted by -i, so an exact
-    phrase match is m slots agreeing on one (doc_id, pos).  Norm bytes
-    ride on slot-0 rows only (one per doc is enough for scoring).
-    Repeated phrase terms ("x x") emit the same postings under each of
-    their slots — Lucene PhraseWeight semantics fall out."""
+    """mapInPandas over posting rows (with b_pos) → ONE compact row per
+    (doc, slot): (doc_id, slot, tf, pos_bytes, norm).
+
+    The per-doc position payload stays VARBYTE-ENCODED through the
+    shuffle (a block's b_pos is split at doc boundaries by scanning the
+    continuation bits — no decode map-side), so shuffle volume is
+    df-rows with compressed payloads, not exploded positions.  Norm
+    rides on slot-0 rows only.  Repeated phrase terms ("x x") emit the
+    same postings under each of their slots — Lucene PhraseWeight
+    semantics fall out."""
     slot_map: dict[str, list[int]] = {}
     for i, t in enumerate(phrase_terms):
         slot_map.setdefault(t, []).append(i)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            docs_out, pos_out, slot_out, norm_out = [], [], [], []
+            docs_out, slot_out, tf_out, pos_out, norm_out = [], [], [], [], []
             for r in pdf.itertuples(index=False):
                 slots = slot_map.get(r.term)
                 if not slots:
@@ -175,21 +183,27 @@ def _decode_positions_stream(phrase_terms: tuple[str, ...]):
                     d, t, n = decode_block(
                         int(r.b_first[i]), r.b_docs[i], r.b_tfs[i], r.b_norms[i]
                     )
-                    p = decode_positions(r.b_pos[i], t)
-                    drep = np.repeat(d, t)
+                    raw = r.b_pos[i]
+                    b = np.frombuffer(raw, dtype=np.uint8)
+                    ends = np.nonzero((b & 0x80) == 0)[0] + 1  # byte end per value
+                    byte_ends = ends[np.cumsum(t) - 1]  # byte end per doc
+                    byte_starts = np.concatenate(([0], byte_ends[:-1]))
+                    bufs = [raw[a:z] for a, z in zip(byte_starts, byte_ends)]
                     for s in slots:
-                        docs_out.append(drep)
-                        pos_out.append(p - s)
-                        slot_out.append(np.full(drep.size, s, dtype=np.int32))
+                        docs_out.append(d)
+                        slot_out.append(np.full(d.size, s, dtype=np.int32))
+                        tf_out.append(t)
+                        pos_out.extend(bufs)
                         norm_out.append(
-                            np.repeat(n, t) if s == 0 else np.zeros(drep.size, dtype=np.int64)
+                            n if s == 0 else np.zeros(d.size, dtype=np.int64)
                         )
             if docs_out:
                 yield pd.DataFrame(
                     {
                         "doc_id": np.concatenate(docs_out),
-                        "pos": np.concatenate(pos_out),
                         "slot": np.concatenate(slot_out),
+                        "tf": np.concatenate(tf_out).astype("int32"),
+                        "pos": pos_out,
                         "norm": np.concatenate(norm_out),
                     }
                 )
@@ -198,24 +212,47 @@ def _decode_positions_stream(phrase_terms: tuple[str, ...]):
 
 
 def _phrase_match_positions(m: int, idf_sum: float, avgdl: float):
-    """mapInPandas over doc_id-partitioned position streams → scores.
+    """mapInPandas over doc_id-partitioned (doc, slot, tf, pos_bytes)
+    rows → scores.
 
-    Adjacency is m-1 vectorized merges on (doc_id, pos); phrase tf =
-    matches per doc; score is the standard BM25 partial with the SUMMED
-    constituent idf (Lucene PhraseWeight).  The whole partition is
-    concatenated first: a doc's rows may span Arrow batches."""
+    Per slot, the partition's payloads are decoded in ONE vectorized
+    varbyte pass (concatenated buffers + per-doc tf counts); adjacency
+    is m-1 vectorized merges on (doc_id, pos); phrase tf = matches per
+    doc; score is the standard BM25 partial with the SUMMED constituent
+    idf (Lucene PhraseWeight).  The whole partition is concatenated
+    first: a doc's rows may span Arrow batches."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         batches = list(it)
         if not batches:
             return
         pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
-        cur = pdf.loc[pdf["slot"] == 0, ["doc_id", "pos", "norm"]]
+
+        def slot_frame(i: int) -> pd.DataFrame:
+            sub = pdf.loc[pdf["slot"] == i]
+            if sub.empty:
+                return pd.DataFrame(
+                    {
+                        "doc_id": np.array([], dtype=np.int64),
+                        "pos": np.array([], dtype=np.int64),
+                    }
+                )
+            tfs = sub["tf"].to_numpy(np.int64)
+            pos = decode_positions(b"".join(sub["pos"]), tfs)
+            out = pd.DataFrame(
+                {"doc_id": np.repeat(sub["doc_id"].to_numpy(np.int64), tfs), "pos": pos - i}
+            )
+            if i == 0:
+                out["norm"] = np.repeat(sub["norm"].to_numpy(np.int64), tfs)
+            return out
+
+        cur = slot_frame(0)
         for i in range(1, m):
-            nxt = pdf.loc[pdf["slot"] == i, ["doc_id", "pos"]]
-            cur = cur.merge(nxt, on=["doc_id", "pos"])
             if cur.empty:
                 return
+            cur = cur.merge(slot_frame(i), on=["doc_id", "pos"])
+        if cur.empty:
+            return
         g = cur.groupby("doc_id").agg(freq=("pos", "size"), norm=("norm", "first"))
         f = g["freq"].to_numpy(np.float64)
         dl = bm25.LENGTH_TABLE[g["norm"].to_numpy(np.int64)].astype(np.float64)
@@ -240,6 +277,19 @@ class SearchEngine:
         self.n_docs = int(self.man.stats["n_docs"])
         self.n_rows = int(self.man.stats["n_rows"])
         self.avgdl = avgdl_from_stats(self.man.stats)
+        # per-field Lucene statistics; fields[0] = default (bare-term keys)
+        self.fields: tuple[str, ...] = tuple(self.man.params.get("fields", ["text"]))
+        fs = self.man.stats.get(
+            "field_stats",
+            {self.fields[0]: {"n_docs": self.n_docs, "total_tokens": self.man.stats["total_tokens"]}},
+        )
+        self.field_stats: dict[str, tuple[int, float]] = {
+            f: (
+                int(v["n_docs"]),
+                (v["total_tokens"] / v["n_docs"]) if v["n_docs"] else 0.0,
+            )
+            for f, v in fs.items()
+        }
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
         self._doc_index: DataFrame | None = None
@@ -262,12 +312,20 @@ class SearchEngine:
 
     # ------------------------------------------------------------ postings access
 
-    def _rows_for_terms(self, terms: set[str]) -> DataFrame:
+    #: columns each read path actually decodes — projecting BEFORE the
+    #: Arrow transfer keeps unrelated payloads (esp. b_pos, ~40% of a
+    #: positioned index's bytes) out of parquet IO and out of Python
+    SCORE_COLS = ("term", "b_first", "b_docs", "b_tfs", "b_norms")
+    WAND_COLS = SCORE_COLS + ("b_last", "b_maxtf", "b_minnorm")
+    POS_COLS = ("term", "b_first", "b_docs", "b_tfs", "b_norms", "b_pos")
+
+    def _rows_for_terms(self, terms: set[str], cols: tuple[str, ...] | None = None) -> DataFrame:
         """Partition-pruned + term-predicate-pushed posting selection."""
         parts = sorted({term_part_py(t, self.num_parts) for t in terms})
-        return self.postings.where(
+        out = self.postings.where(
             F.col("part").isin(parts) & F.col("term").isin(sorted(terms))
         )
+        return out.select(*cols) if cols else out
 
     def term_dfs(self, terms: set[str]) -> dict[str, int]:
         """Global doc frequency per term (sum over skew splits/batches).
@@ -281,7 +339,9 @@ class SearchEngine:
             if self.term_dict is not None:
                 src = self.term_dict.where(F.col("term").isin(sorted(missing)))
             else:  # pre-term_dict index layout
-                src = self._rows_for_terms(missing).withColumnRenamed("df_row", "df")
+                src = self._rows_for_terms(missing, ("term", "df_row")).withColumnRenamed(
+                    "df_row", "df"
+                )
             rows = src.groupBy("term").agg(F.sum("df").alias("df")).collect()
             found = {r["term"]: int(r["df"]) for r in rows}
             for t in missing:
@@ -291,21 +351,105 @@ class SearchEngine:
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], SCORE_SCHEMA)
 
+    # ------------------------------------------------------------ field routing
+
+    def _key(self, field: str, term: str) -> str:
+        """The default field owns the bare-term key space; other fields
+        are prefixed ``field:term`` (one shared sorted term space —
+        per-field terms dictionaries flattened; analyzed default-field
+        tokens can never contain ':')."""
+        return term if field == self.fields[0] else f"{field}:{term}"
+
+    def _fields_for(self, field: str | None) -> list[str]:
+        if field is None:
+            # bare leaves search ALL indexed fields (the reference's
+            # MultiFieldQueryParser, EmailIndexSearcher.java:49-53)
+            return list(self.fields)
+        if field not in self.fields:
+            from emailindexer_spark.plans.parser import QueryParseError
+
+            raise QueryParseError(
+                f"unknown field {field!r}; indexed fields: {', '.join(self.fields)}"
+            )
+        return [field]
+
+    def _field_of_key(self, key: str) -> str:
+        if ":" in key:
+            f = key.split(":", 1)[0]
+            if f in self.fields:
+                return f
+        return self.fields[0]
+
+    def _resolve_node(self, node: Node) -> Node:
+        """Rewrite field routing into keyed leaves: ``field:term`` →
+        key-addressed Term; a bare leaf on a multi-field index becomes a
+        SHOULD disjunction of per-field copies (score = sum of matched
+        fields, BooleanQuery-of-per-field-queries semantics)."""
+        if isinstance(node, Bool):
+            return Bool(
+                boost=node.boost,
+                clauses=[(o, self._resolve_node(c)) for o, c in node.clauses],
+            )
+        flds = self._fields_for(getattr(node, "field", None))
+
+        def mk(f: str) -> Node:
+            if isinstance(node, Term):
+                return Term(boost=node.boost, text=self._key(f, node.text), field=f)
+            if isinstance(node, Prefix):
+                return Prefix(boost=node.boost, prefix=node.prefix, field=f)
+            if isinstance(node, Phrase):
+                return Phrase(
+                    boost=node.boost,
+                    terms=tuple(self._key(f, t) for t in node.terms),
+                    field=f,
+                )
+            raise TypeError(type(node))
+
+        if len(flds) == 1:
+            return mk(flds[0])
+        return Bool(boost=1.0, clauses=[(SHOULD, mk(f)) for f in flds])
+
+    def _maps_for(self, keys: set[str]) -> tuple[dict[str, float], dict[str, float]]:
+        """(idf per key, avgdl per key) under each key's FIELD stats."""
+        dfs = self.term_dfs(keys)
+        idf_map, avgdl_map = {}, {}
+        for k, dfv in dfs.items():
+            n_f, adl_f = self.field_stats[self._field_of_key(k)]
+            idf_map[k] = float(bm25.idf(dfv, n_f))
+            avgdl_map[k] = adl_f
+        return idf_map, avgdl_map
+
     # ------------------------------------------------------------ leaf scoring
 
-    def _scored_terms_df(self, terms: set[str], idf_map: dict[str, float]) -> DataFrame:
-        return self._rows_for_terms(terms).mapInPandas(
-            _decode_score_rows(idf_map, self.avgdl), TERM_SCORE_SCHEMA
+    def _scored_terms_df(
+        self,
+        terms: set[str],
+        idf_map: dict[str, float],
+        avgdl_map: dict[str, float] | None = None,
+    ) -> DataFrame:
+        return self._rows_for_terms(terms, self.SCORE_COLS).mapInPandas(
+            _decode_score_rows(idf_map, self.avgdl, avgdl_map), TERM_SCORE_SCHEMA
         )
 
-    def _leaf_df(self, node: Node, idf_map: dict[str, float]) -> DataFrame | None:
+    def _leaf_df(
+        self,
+        node: Node,
+        idf_map: dict[str, float],
+        avgdl_map: dict[str, float] | None = None,
+    ) -> DataFrame | None:
         if isinstance(node, Term):
             if node.text not in idf_map:
                 return None
-            df = self._scored_terms_df({node.text}, idf_map).drop("term")
+            df = self._scored_terms_df({node.text}, idf_map, avgdl_map).drop("term")
             return df.withColumn("score", F.col("score") * F.lit(node.boost))
         if isinstance(node, Prefix):
-            pred = F.col("term").startswith(node.prefix)
+            f = node.field or self.fields[0]
+            kpre = self._key(f, node.prefix)
+            pred = F.col("term").startswith(kpre)
+            if f == self.fields[0]:
+                # bare keys only: a default-field prefix must not match
+                # another field's `field:term` keys
+                pred = pred & ~F.col("term").contains(":")
             if self.term_dict is not None:
                 # expand against the sorted term dictionary (vocab-scale
                 # scan, row-group pruned by the sorted `term` min/max),
@@ -320,12 +464,18 @@ class SearchEngine:
                 prows = self.postings.where(F.col("part").isin(sorted(parts)) & pred)
             else:  # pre-term_dict index layout: full postings scan
                 prows = self.postings.where(pred)
-            docs = prows.mapInPandas(_decode_docs_only(), "doc_id long").distinct()
+            docs = (
+                prows.select("b_first", "b_docs", "b_tfs", "b_norms")
+                .mapInPandas(_decode_docs_only(), "doc_id long")
+                .distinct()
+            )
             return docs.withColumn("score", F.lit(1.0 * node.boost))
         if isinstance(node, Phrase):
             terms = set(node.terms)
             if any(t not in idf_map for t in terms):
                 return None
+            f = node.field or self.fields[0]
+            field_avgdl = self.field_stats[f][1]
             # Lucene PhraseWeight sums idf over term POSITIONS — a phrase
             # "x x" counts x's idf twice (duplicates not deduped)
             idf_sum = sum(idf_map[t] for t in node.terms)
@@ -334,18 +484,22 @@ class SearchEngine:
                 # decode the phrase terms' position payloads, ONE shuffle
                 # by doc_id, vectorized adjacency merge — cost scales with
                 # the terms' postings volume, never with corpus text size
-                stream = self._rows_for_terms(terms).mapInPandas(
+                stream = self._rows_for_terms(terms, self.POS_COLS).mapInPandas(
                     _decode_positions_stream(node.terms), POS_STREAM_SCHEMA
                 )
                 scored = stream.repartition("doc_id").mapInPandas(
-                    _phrase_match_positions(len(node.terms), idf_sum, self.avgdl),
+                    _phrase_match_positions(len(node.terms), idf_sum, field_avgdl),
                     SCORE_SCHEMA,
                 )
                 return scored.withColumn("score", F.col("score") * F.lit(node.boost))
             # fallback for position-less indexes: candidate docs contain
             # ALL phrase terms; re-tokenize their text to verify adjacency
+            if f != self.fields[0]:
+                raise NotImplementedError(
+                    "non-default-field phrases need a positions-enabled index"
+                )
             cand = (
-                self._scored_terms_df(terms, idf_map)
+                self._scored_terms_df(terms, idf_map, avgdl_map)
                 .groupBy("doc_id")
                 .agg(F.countDistinct("term").alias("nt"))
                 .where(F.col("nt") == len(terms))
@@ -361,14 +515,19 @@ class SearchEngine:
 
     # ------------------------------------------------------------ boolean combine
 
-    def _score_node(self, node: Node, idf_map: dict[str, float]) -> DataFrame | None:
+    def _score_node(
+        self,
+        node: Node,
+        idf_map: dict[str, float],
+        avgdl_map: dict[str, float] | None = None,
+    ) -> DataFrame | None:
         if not isinstance(node, Bool):
-            return self._leaf_df(node, idf_map)
+            return self._leaf_df(node, idf_map, avgdl_map)
         if self._is_flat_terms(node):
-            return self._score_flat_terms(node, idf_map)
+            return self._score_flat_terms(node, idf_map, avgdl_map)
         musts, shoulds, nots = [], [], []
         for occur, child in node.clauses:
-            d = self._score_node(child, idf_map)
+            d = self._score_node(child, idf_map, avgdl_map)
             if occur == MUST:
                 if d is None:
                     return None  # unmatched MUST → nothing matches
@@ -411,7 +570,12 @@ class SearchEngine:
     def _is_flat_terms(node: Bool) -> bool:
         return all(isinstance(c, Term) for _, c in node.clauses) and node.clauses
 
-    def _score_flat_terms(self, node: Bool, idf_map: dict[str, float]) -> DataFrame | None:
+    def _score_flat_terms(
+        self,
+        node: Bool,
+        idf_map: dict[str, float],
+        avgdl_map: dict[str, float] | None = None,
+    ) -> DataFrame | None:
         """One-aggregation path for flat boolean-of-terms queries: a single
         postings scan + ONE shuffle, no per-leaf DataFrames."""
         boosts = {}
@@ -429,7 +593,9 @@ class SearchEngine:
         if not scoring:
             return None
         all_terms = set(scoring) | set(nots)
-        scored = self._scored_terms_df({t for t in all_terms if t in idf_map}, idf_map)
+        scored = self._scored_terms_df(
+            {t for t in all_terms if t in idf_map}, idf_map, avgdl_map
+        )
         boost_expr = F.create_map(
             *[x for t, b in boosts.items() for x in (F.lit(t), F.lit(b))]
         )
@@ -469,15 +635,14 @@ class SearchEngine:
 
     # ------------------------------------------------------------ public API
 
+    def _score_resolved(self, ast: Node) -> DataFrame:
+        idf_map, avgdl_map = self._maps_for(query_terms(ast))
+        out = self._score_node(ast, idf_map, avgdl_map)
+        return out if out is not None else self._empty_scores()
+
     def score(self, query: str) -> DataFrame:
         """(doc_id, score) for every matching doc — exhaustive semantics."""
-        ast = parse(query, simple=self.simple)
-        idf_map = {
-            t: float(bm25.idf(dfv, self.n_docs))
-            for t, dfv in self.term_dfs(query_terms(ast)).items()
-        }
-        out = self._score_node(ast, idf_map)
-        return out if out is not None else self._empty_scores()
+        return self._score_resolved(self._resolve_node(parse(query, simple=self.simple)))
 
     def search(
         self,
@@ -488,20 +653,26 @@ class SearchEngine:
         with_text: bool = False,
     ) -> DataFrame:
         """Top-k search. Returns (rank, doc_id, conv_id, turn_idx, score)."""
-        ast = parse(query, simple=self.simple)
+        ast = self._resolve_node(parse(query, simple=self.simple))
         if use_wand is None:
+            # WAND covers flat default-field term disjunctions (the one
+            # spot the reference's Lucene uses BMW); field-routed keys
+            # carry per-field avgdl the WAND kernel does not model
             use_wand = (
                 mode == "turns"
                 and k is not None
                 and wand_mod.is_wand_eligible(ast)
+                and all(":" not in c.text for _, c in ast.clauses)
             )
         if use_wand:
-            idf_map = {
-                t: float(bm25.idf(dfv, self.n_docs))
-                for t, dfv in self.term_dfs(query_terms(ast)).items()
-            }
+            keys = query_terms(ast)
+            if any(":" in t for t in keys):
+                raise ValueError(
+                    "use_wand=True supports default-field term queries only"
+                )
+            idf_map, _ = self._maps_for(keys)
             boosts = {c.text: c.boost for _, c in ast.clauses if c.text in idf_map}
-            rows = self._rows_for_terms(set(boosts)) if boosts else None
+            rows = self._rows_for_terms(set(boosts), self.WAND_COLS) if boosts else None
             scores = (
                 wand_mod.wand_topk(
                     self.spark, rows, idf_map, boosts, self.avgdl, k, self.n_rows
@@ -510,7 +681,7 @@ class SearchEngine:
                 else self._empty_scores()
             )
         else:
-            scores = self.score(query)
+            scores = self._score_resolved(ast)
         return self._finish(scores, k, mode, with_text)
 
     def search_many(
@@ -529,7 +700,7 @@ class SearchEngine:
         # below fire zero additional driver round-trips for stats
         all_terms: set[str] = set()
         for q, _k, _mode in queries.values():
-            all_terms |= query_terms(parse(q, simple=self.simple))
+            all_terms |= query_terms(self._resolve_node(parse(q, simple=self.simple)))
         self.term_dfs(all_terms)
         parts = []
         for qid, (q, k, mode) in queries.items():

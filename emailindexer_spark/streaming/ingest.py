@@ -111,23 +111,31 @@ def incremental_append(
     # inside the batch), offset by the current corpus size
     from emailindexer_spark.operators.docid import assign_doc_ids
 
-    with_ids = (
-        assign_doc_ids(batch, method="two_phase")
-        .withColumn("doc_id", F.col("doc_id") + F.lit(base))
-        .withColumn("dl", dl_expr(F.col("text"), simple))
+    fields = tuple(man.params.get("fields", ["text"]))
+    with_ids = assign_doc_ids(batch, method="two_phase").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(base)
     )
-    with_ids = with_ids.withColumn("norm", norm_byte_expr(F.col("dl"))).persist()
+    extra_cols: list[str] = []
+    for fi, fld in enumerate(fields):
+        dcol = "dl" if fi == 0 else f"dl_{fld}"
+        ncol = "norm" if fi == 0 else f"norm_{fld}"
+        with_ids = with_ids.withColumn(dcol, dl_expr(F.col(fld), simple))
+        with_ids = with_ids.withColumn(ncol, norm_byte_expr(F.col(dcol)))
+        if fi:
+            extra_cols += [dcol, ncol]
+    with_ids = with_ids.persist()
     try:
         with_ids.select(
-            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text", "dl", "norm"
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "text",
+            "dl", "norm", *extra_cols,
         ).write.parquet(os.path.join(staging, "doc_index"))
-        with_ids.select("doc_id", "conv_id", "turn_idx", "dl", "norm").write.parquet(
-            os.path.join(staging, "doc_stats")
-        )
+        with_ids.select(
+            "doc_id", "conv_id", "turn_idx", "dl", "norm", *extra_cols
+        ).write.parquet(os.path.join(staging, "doc_stats"))
 
         positions = bool(man.params.get("positions", False))
-        tf_rows = with_ids.select("doc_id", "text").mapInPandas(
-            _tokenize_to_tf_rows(simple, positions=positions),
+        tf_rows = with_ids.select("doc_id", *fields).mapInPandas(
+            _tokenize_to_tf_rows(simple, positions=positions, fields=fields),
             TF_SCHEMA_POS if positions else TF_SCHEMA,
         )
         # every batch becomes one fresh split per term: doc ranges are
@@ -151,11 +159,12 @@ def incremental_append(
             .write.parquet(os.path.join(staging, "term_dict"))
         )
 
-        agg = with_ids.agg(
-            F.count("*").alias("rows"),
-            F.count(F.when(F.col("dl") > 0, 1)).alias("n"),
-            F.sum("dl").alias("total"),
-        ).collect()[0]
+        aggs = [F.count("*").alias("rows")]
+        for fi, fld in enumerate(fields):
+            dcol = "dl" if fi == 0 else f"dl_{fld}"
+            aggs.append(F.count(F.when(F.col(dcol) > 0, 1)).alias(f"n_{fld}"))
+            aggs.append(F.sum(dcol).alias(f"total_{fld}"))
+        agg = with_ids.agg(*aggs).collect()[0]
         n_batch = int(agg["rows"])
     finally:
         with_ids.unpersist(blocking=False)
@@ -169,13 +178,29 @@ def incremental_append(
 
     if batch_id is not None:
         committed.append(int(batch_id))
+    f0 = fields[0]
+    fstats = dict(man.stats.get("field_stats", {}))
+    for fld in fields:
+        # pre-field_stats manifests: seed the default field from the
+        # legacy scalar stats so appended totals stay corpus-wide
+        legacy = (
+            {"n_docs": man.stats["n_docs"], "total_tokens": man.stats["total_tokens"]}
+            if fld == fields[0]
+            else {"n_docs": 0, "total_tokens": 0}
+        )
+        prev = fstats.get(fld, legacy)
+        fstats[fld] = {
+            "n_docs": int(prev["n_docs"]) + int(agg[f"n_{fld}"] or 0),
+            "total_tokens": int(prev["total_tokens"]) + int(agg[f"total_{fld}"] or 0),
+        }
     man.set_stats(
         n_rows=base + n_batch,
         max_doc_id=base + n_batch - 1,
-        n_docs=int(man.stats["n_docs"]) + int(agg["n"] or 0),
-        total_tokens=int(man.stats["total_tokens"]) + int(agg["total"] or 0),
+        n_docs=int(man.stats["n_docs"]) + int(agg[f"n_{f0}"] or 0),
+        total_tokens=int(man.stats["total_tokens"]) + int(agg[f"total_{f0}"] or 0),
         ingest_batches=batch_seq,
         committed_batch_ids=committed,
+        field_stats=fstats,
     )
     man.commit_stage(f"ingest_{batch_seq:06d}", rows=n_batch)
     return man

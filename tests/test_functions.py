@@ -255,8 +255,15 @@ class TestParser:
         assert q.clauses[0][1].text == "apple"
         assert isinstance(q.clauses[1][1], Phrase)  # multi-token analysis
 
-    def test_field_prefix_stripped(self):
-        assert parse("body:apple").clauses[0][1].text == "apple"
+    def test_field_prefix_routes(self):
+        t = parse("body:apple").clauses[0][1]
+        assert t.text == "apple" and t.field == "body"
+        p = parse('role:"a b"').clauses[0][1]
+        assert isinstance(p, Phrase) and p.field == "role" and p.terms == ("a", "b")
+        pre = parse("role:as*").clauses[0][1]
+        assert isinstance(pre, Prefix) and pre.field == "role" and pre.prefix == "as"
+        bare = parse("apple").clauses[0][1]
+        assert bare.field is None
 
     def test_unsupported_syntax_raises_loudly(self):
         # ranges, fuzzy/slop, and non-trailing wildcards are classic-parser

@@ -58,6 +58,47 @@ def test_incremental_append_matches_oracle(spark, corpus3):
 
 
 @pytest.mark.slow
+def test_replayed_batch_id_is_noop_and_crash_repair(spark, corpus3):
+    # Structured Streaming delivers foreachBatch at-least-once: a replay
+    # of a committed batch_id must not duplicate docs or inflate stats,
+    # and a crashed half-append (tagged files present, manifest not
+    # committed) must be cleaned up by the retry.
+    import glob
+
+    from emailindexer_spark.sources.checkpoint import Manifest
+
+    base, b1, _ = corpus3
+    d = tempfile.mkdtemp(prefix="ix_idem_")
+    try:
+        IndexBuilder(spark, d, num_parts=8, heavy_df_threshold=500, split_target=400).build(
+            spark.createDataFrame(base)
+        )
+        sdf1 = spark.createDataFrame(b1)
+        incremental_append(spark, d, sdf1, batch_id=7)
+        man = Manifest.load_or_create(d)
+        stats_after = dict(man.stats)
+        n_files = len(glob.glob(os.path.join(d, "doc_index", "*")))
+        # replay the SAME batch id → complete no-op
+        incremental_append(spark, d, sdf1, batch_id=7)
+        man2 = Manifest.load_or_create(d)
+        assert man2.stats == stats_after
+        assert len(glob.glob(os.path.join(d, "doc_index", "*"))) == n_files
+        # simulate a crashed half-append of the NEXT batch: stray tagged
+        # files in the live table must be removed before the rewrite
+        tag = "ingb000000000008"
+        stray = os.path.join(d, "doc_index", f"{tag}-part-junk.parquet")
+        with open(stray, "wb"):
+            pass
+        # (an unreadable 0-byte parquet would poison every later scan)
+        incremental_append(spark, d, spark.createDataFrame(b1.head(50)), batch_id=8)
+        assert not os.path.exists(stray)
+        eng = SearchEngine(spark, d)
+        assert eng.n_rows == len(base) + len(b1) + 50
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.slow
 def test_stream_ingest_available_now(spark, corpus3):
     base, b1, _ = corpus3
     d = tempfile.mkdtemp(prefix="ix_streamq_")
