@@ -325,6 +325,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_prefix"] = bm25_prefix
 
+    def bm25_range(spark, sf_dir):
+        # Lucene TermRangeQuery, constant-score: docs with any term in
+        # [da TO dn] (dictionary range over the sorted term_dict)
+        eng = _engine_for(spark, sf_dir)
+        out = eng.search("[da TO dn]", k=30)
+        return out.withColumn("score", F.round("score", 4))
+
+    q["bm25_range"] = bm25_range
+
     def bm25_phrase(spark, sf_dir):
         eng = _engine_for(spark, sf_dir)
         return eng.search('"table hash"', k=15).withColumn("score", F.round("score", 4))
@@ -680,6 +689,13 @@ SELECT CAST(row_number() OVER (ORDER BY p.doc_id) AS INT) AS rank,
        dd.doc_id, dd.conv_id, dd.turn_idx, CAST(1.0 AS DOUBLE) AS score
 FROM pdocs p JOIN docs dd USING (doc_id)
 ORDER BY p.doc_id LIMIT 30"""
+
+    o["bm25_range"] = f"""{_BM25_PRELUDE},
+rdocs AS (SELECT DISTINCT doc_id FROM tokens WHERE term >= 'da' AND term <= 'dn')
+SELECT CAST(row_number() OVER (ORDER BY r.doc_id) AS INT) AS rank,
+       dd.doc_id, dd.conv_id, dd.turn_idx, CAST(1.0 AS DOUBLE) AS score
+FROM rdocs r JOIN docs dd USING (doc_id)
+ORDER BY r.doc_id LIMIT 30"""
 
     o["bm25_phrase"] = f"""{_BM25_PRELUDE},
 toked AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM docs),

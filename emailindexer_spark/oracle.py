@@ -39,6 +39,7 @@ from emailindexer_spark.plans.parser import (
     Phrase,
     Prefix,
     Term,
+    TermRange,
     parse,
 )
 
@@ -157,6 +158,26 @@ def _score_leaf(ix: OracleIndex, node: Node) -> dict[int, float]:
             for t, plist in ix.postings.items():
                 if t.startswith(kpre) and (f == ix.fields[0]) == (":" not in t):
                     docs.update(plist)
+            for d in docs:
+                out[d] = out.get(d, 0.0) + 1.0 * node.boost
+        return out
+    if isinstance(node, TermRange):
+        # Lucene TermRangeQuery: constant-score rewrite, like Prefix
+        for f in _fields_for(ix, node.field):
+            pref = "" if f == ix.fields[0] else f + ":"
+            docs: set[int] = set()
+            for t, plist in ix.postings.items():
+                if f == ix.fields[0]:
+                    if ":" in t:
+                        continue
+                elif not t.startswith(pref):
+                    continue
+                bare = t[len(pref):]
+                if node.lo is not None and (bare < node.lo or (bare == node.lo and not node.lo_incl)):
+                    continue
+                if node.hi is not None and (bare > node.hi or (bare == node.hi and not node.hi_incl)):
+                    continue
+                docs.update(plist)
             for d in docs:
                 out[d] = out.get(d, 0.0) + 1.0 * node.boost
         return out

@@ -58,6 +58,18 @@ class Prefix(Node):
 
 
 @dataclass
+class TermRange(Node):
+    """Lucene TermRangeQuery: ``[a TO b]`` inclusive, ``{a TO b}``
+    exclusive.  Constant-score rewrite, like Prefix."""
+
+    lo: str | None = None  # None = open end (* in Lucene syntax)
+    hi: str | None = None
+    lo_incl: bool = True
+    hi_incl: bool = True
+    field: str | None = None
+
+
+@dataclass
 class Bool(Node):
     clauses: list[tuple[str, Node]] = field(default_factory=list)
 
@@ -93,6 +105,18 @@ def _lex(q: str) -> list[str]:
                 if k < 0:
                     raise QueryParseError(f"unterminated phrase in {q!r}")
                 j = k + 1
+            # range bodies contain spaces (`[a TO b]`) — extend the token
+            # to the closing bracket
+            tok = q[i:j]
+            ob = max(tok.find("["), tok.find("{"))
+            if ob >= 0 and not any(cb in tok[ob:] for cb in "]}"):
+                closers = [k for k in (q.find("]", j), q.find("}", j)) if k >= 0]
+                if not closers:
+                    raise QueryParseError(f"unterminated range in {q!r}")
+                j = min(closers) + 1
+                # keep a trailing ^boost attached
+                while j < n and not q[j].isspace() and q[j] not in '()"':
+                    j += 1
             out.append(q[i:j])
             i = j
     return out
@@ -122,6 +146,28 @@ def _leaf(tok: str, simple: bool) -> Node | None:
     m = _FIELD_RE.match(tok)
     if m:
         field, tok = m.group(1), m.group(2)
+    if tok and tok[0] in "[{" and tok[-1] in "]}":
+        # Lucene TermRangeQuery syntax: [lo TO hi] incl / {lo TO hi} excl
+        parts = _re.split(r"\s+TO\s+", tok[1:-1].strip())
+        if len(parts) != 2:
+            raise QueryParseError(f"malformed range {tok!r} (expected '[a TO b]')")
+
+        def end(raw: str, side: str) -> str | None:
+            if raw == "*":
+                return None  # open end
+            toks = tokenize(raw, simple=simple)
+            if len(toks) != 1:
+                raise QueryParseError(f"range {side} endpoint {raw!r} must analyze to one term")
+            return toks[0]
+
+        return TermRange(
+            boost=boost,
+            lo=end(parts[0], "lower"),
+            hi=end(parts[1], "upper"),
+            lo_incl=tok[0] == "[",
+            hi_incl=tok[-1] == "]",
+            field=field,
+        )
     if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
         terms = tuple(tokenize(tok[1:-1], simple=simple))
         if not terms:
@@ -162,10 +208,15 @@ def _reject_unsupported(tok: str) -> None:
         raise QueryParseError(
             f"fuzzy/slop syntax {tok!r} is not supported (no '~' operator)"
         )
+    # well-formed ranges ([a TO b] / {a TO b}, optionally field-prefixed)
+    # are parsed (and validated) by _leaf — incl. '*' as an open end;
+    # stray brackets must not silently degrade
+    m2 = _FIELD_RE.match(body)
+    rng = m2.group(2) if m2 else body
+    if rng and rng[0] in "[{" and rng[-1] in "]}":
+        return
     if any(c in body for c in "[]{}"):
-        raise QueryParseError(
-            f"range syntax {tok!r} is not supported (no '[a TO b]' queries)"
-        )
+        raise QueryParseError(f"stray range bracket in {tok!r}")
     if "?" in body:
         raise QueryParseError(f"'?' wildcards are not supported in {tok!r}")
     if "*" in body[:-1] or body == "*":

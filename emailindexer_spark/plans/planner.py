@@ -49,6 +49,7 @@ from emailindexer_spark.plans.parser import (
     Phrase,
     Prefix,
     Term,
+    TermRange,
     parse,
     query_terms,
 )
@@ -397,6 +398,11 @@ class SearchEngine:
                 return Term(boost=node.boost, text=self._key(f, node.text), field=f)
             if isinstance(node, Prefix):
                 return Prefix(boost=node.boost, prefix=node.prefix, field=f)
+            if isinstance(node, TermRange):
+                return TermRange(
+                    boost=node.boost, lo=node.lo, hi=node.hi,
+                    lo_incl=node.lo_incl, hi_incl=node.hi_incl, field=f,
+                )
             if isinstance(node, Phrase):
                 return Phrase(
                     boost=node.boost,
@@ -431,6 +437,33 @@ class SearchEngine:
             _decode_score_rows(idf_map, self.avgdl, avgdl_map), TERM_SCORE_SCHEMA
         )
 
+    def _constant_score_docs(self, pred, field: str, boost: float) -> DataFrame | None:
+        """Multi-term constant-score rewrite (Prefix/TermRange): expand
+        the predicate against the sorted term dictionary (vocab-scale
+        scan, row-group pruned by the sorted `term` min/max), then prune
+        postings PARTITIONS like any term query — the P-bounded part
+        list is the only driver round-trip."""
+        if field == self.fields[0]:
+            # bare keys only: a default-field expansion must not match
+            # another field's `field:term` keys
+            pred = pred & ~F.col("term").contains(":")
+        if self.term_dict is not None:
+            parts = [
+                r["part"]
+                for r in self.term_dict.where(pred).select("part").distinct().collect()
+            ]
+            if not parts:
+                return None
+            prows = self.postings.where(F.col("part").isin(sorted(parts)) & pred)
+        else:  # pre-term_dict index layout: full postings scan
+            prows = self.postings.where(pred)
+        docs = (
+            prows.select("b_first", "b_docs", "b_tfs", "b_norms")
+            .mapInPandas(_decode_docs_only(), "doc_id long")
+            .distinct()
+        )
+        return docs.withColumn("score", F.lit(1.0 * boost))
+
     def _leaf_df(
         self,
         node: Node,
@@ -444,32 +477,27 @@ class SearchEngine:
             return df.withColumn("score", F.col("score") * F.lit(node.boost))
         if isinstance(node, Prefix):
             f = node.field or self.fields[0]
-            kpre = self._key(f, node.prefix)
-            pred = F.col("term").startswith(kpre)
-            if f == self.fields[0]:
-                # bare keys only: a default-field prefix must not match
-                # another field's `field:term` keys
-                pred = pred & ~F.col("term").contains(":")
-            if self.term_dict is not None:
-                # expand against the sorted term dictionary (vocab-scale
-                # scan, row-group pruned by the sorted `term` min/max),
-                # then prune postings PARTITIONS like any term query —
-                # the P-bounded part list is the only driver round-trip
-                parts = [
-                    r["part"]
-                    for r in self.term_dict.where(pred).select("part").distinct().collect()
-                ]
-                if not parts:
-                    return None
-                prows = self.postings.where(F.col("part").isin(sorted(parts)) & pred)
-            else:  # pre-term_dict index layout: full postings scan
-                prows = self.postings.where(pred)
-            docs = (
-                prows.select("b_first", "b_docs", "b_tfs", "b_norms")
-                .mapInPandas(_decode_docs_only(), "doc_id long")
-                .distinct()
-            )
-            return docs.withColumn("score", F.lit(1.0 * node.boost))
+            pred = F.col("term").startswith(self._key(f, node.prefix))
+            return self._constant_score_docs(pred, f, node.boost)
+        if isinstance(node, TermRange):
+            # Lucene TermRangeQuery: constant-score rewrite over the
+            # dictionary range, same machinery as Prefix
+            f = node.field or self.fields[0]
+            pref = "" if f == self.fields[0] else f + ":"
+            pred = F.lit(True)
+            if node.lo is not None:
+                lo = pref + node.lo
+                pred = pred & (
+                    (F.col("term") >= lo) if node.lo_incl else (F.col("term") > lo)
+                )
+            if node.hi is not None:
+                hi = pref + node.hi
+                pred = pred & (
+                    (F.col("term") <= hi) if node.hi_incl else (F.col("term") < hi)
+                )
+            if pref:
+                pred = pred & F.col("term").startswith(pref)
+            return self._constant_score_docs(pred, f, node.boost)
         if isinstance(node, Phrase):
             terms = set(node.terms)
             if any(t not in idf_map for t in terms):

@@ -95,6 +95,18 @@ def test_conversation_collapse_unique_convs(engine):
     assert len(convs) == len(set(convs))
 
 
+def test_term_range_constant_score(engine, oracle_ix):
+    # Lucene TermRangeQuery: constant-score rewrite over [lo TO hi]
+    for q in ["[qa TO qp]", "{qa TO qojema}", "[* TO ab]", "[zz TO *]", "[qo TO qp] fuhepi"]:
+        exp = osearch(oracle_ix, q, k=2000)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.search(q, k=2000, use_wand=False).collect()
+        ]
+        _assert_match(got, exp, q)
+    assert engine.search("[qa TO qp]", k=5).count() > 0
+
+
 def test_phrase_positionless_fallback_matches(spark, corpus_sdf, oracle_ix, engine):
     # an index built WITHOUT position payloads must answer phrases via
     # the candidate+re-tokenize fallback, byte-for-byte the same results

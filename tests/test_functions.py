@@ -274,8 +274,6 @@ class TestParser:
         from emailindexer_spark.plans.parser import QueryParseError
 
         for bad in [
-            "[alpha TO omega]",
-            "ts:{2020 TO 2021}",
             "roam~",
             "roam~2",
             '"a b"~3',
@@ -283,9 +281,28 @@ class TestParser:
             "te*m",
             "*",
             "*term",
+            "stray]bracket",
+            "[a TO",          # unterminated range
+            "[a b c]",        # no TO
         ]:
             with _pytest.raises(QueryParseError):
                 parse(bad)
+
+    def test_term_range_parses(self):
+        from emailindexer_spark.plans.parser import TermRange
+
+        r = parse("[alpha TO omega]").clauses[0][1]
+        assert isinstance(r, TermRange)
+        assert (r.lo, r.hi, r.lo_incl, r.hi_incl) == ("alpha", "omega", True, True)
+        r2 = parse("{alpha TO omega}").clauses[0][1]
+        assert (r2.lo_incl, r2.hi_incl) == (False, False)
+        r3 = parse("role:[a TO c]^2").clauses[0][1]
+        assert r3.field == "role" and r3.boost == 2.0
+        r4 = parse("[* TO m]").clauses[0][1]
+        assert r4.lo is None and r4.hi == "m"
+        # mixed brackets and uppercase endpoints analyzed
+        r5 = parse("[Alpha TO M}").clauses[0][1]
+        assert r5.lo == "alpha" and r5.hi == "m" and r5.lo_incl and not r5.hi_incl
 
     def test_supported_syntax_still_parses(self):
         # literal ~ [ ] inside a quoted phrase is analyzed text, not syntax

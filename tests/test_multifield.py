@@ -98,6 +98,17 @@ def test_single_field_engine_rejects_field_queries(spark, index_dir):
     assert eng.search("text:qojema", k=5).count() > 0
 
 
+def test_field_range_routes_and_bare_range_sums(mf_engine, mf_oracle):
+    # role:[a TO u] matches assistant+tool roles; bare range sums fields
+    for q in ["role:[a TO u]", "[assistant TO assistant] qojema"]:
+        exp = osearch(mf_oracle, q, k=3500)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in mf_engine.search(q, k=3500, use_wand=False).collect()
+        ]
+        _assert_match(got, exp, q)
+
+
 def test_default_prefix_does_not_leak_into_other_fields(mf_engine, mf_oracle):
     # "as*" as a BARE prefix searches both fields (role:assistant matches
     # via the role copy) — but the text-field copy alone must not match
