@@ -44,6 +44,8 @@ def cmd_build(args) -> int:
         simple_tokens=args.simple_tokens,
         sanitize=args.sanitize,
         validate=args.validate,
+        positions=not args.no_positions,
+        fields=tuple(args.fields.split(",")) if args.fields else ("text",),
     ).build(df, resume=args.resume)
     print(json.dumps({"snapshot_id": man.snapshot_id, "stats": man.stats}))
     return 0
@@ -119,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--sanitize", action="store_true")
     b.add_argument("--validate", action="store_true")
     b.add_argument("--resume", action="store_true")
+    b.add_argument(
+        "--no-positions", action="store_true",
+        help="skip term-position payloads (phrases fall back to re-tokenize)",
+    )
+    b.add_argument(
+        "--fields", default=None,
+        help="comma-separated indexed fields, first = default (e.g. text,role)",
+    )
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="top-k BM25 search")
