@@ -661,6 +661,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter"] = quality_filter
 
+    # ---------------- multimodal plumbing ----------------------------------
+    def _media(spark, sf_dir):
+        # deterministic media table derived from documents: the text's
+        # UTF-8 bytes stand in as the opaque binary payload; kind and
+        # duration are doc_id-derived so DuckDB reproduces them exactly
+        d = _docs(spark, sf_dir)
+        kind = F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        )
+        dur = F.when(
+            F.pmod(F.col("doc_id"), 3) != 0,
+            (F.pmod(F.col("doc_id"), 7) * 1000 + 1000).cast("int"),
+        )
+        return d.select(
+            F.concat(F.lit("m"), F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias("media_id"),
+            kind.alias("kind"),
+            F.encode(F.col("text"), "UTF-8").alias("media"),
+            F.struct(
+                F.lit("raw").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                dur.alias("duration_ms"),
+            ).alias("meta"),
+        )
+
+    def multimodal_meta(spark, sf_dir):
+        # exercises the Arrow-batched feature-extraction UDF end-to-end
+        # (deterministic fake codec); the gated columns are the typed
+        # metadata the plumbing must preserve
+        from emailindexer_spark.operators import multimodal as MM
+
+        out = MM.extract_features(_media(spark, sf_dir), fake=True, dim=16)
+        return out.select(
+            "media_id", "kind", "n_bytes", F.size("feature").alias("dim")
+        ).orderBy("media_id")
+
+    q["multimodal_meta"] = multimodal_meta
+
+    def multimodal_frames(spark, sf_dir):
+        # frame sampling: count from meta.duration_ms, deterministic
+        # payload slices — byte-identical to the SQL oracle
+        from emailindexer_spark.operators import multimodal as MM
+
+        fr = MM.sample_frames(_media(spark, sf_dir), every_ms=1000, fake=True)
+        return fr.select(
+            "media_id",
+            "frame_idx",
+            F.regexp_replace(F.base64(F.col("frame")), "\r\n", "").alias("frame_b64"),
+        ).orderBy("media_id", "frame_idx")
+
+    q["multimodal_frames"] = multimodal_frames
+
     return q
 
 
@@ -993,5 +1046,44 @@ FROM documents GROUP BY source ORDER BY source"""
 SELECT doc_id, round({_qual}, 4) AS quality
 FROM documents WHERE ({_qual}) >= 0.7
 ORDER BY doc_id LIMIT 200"""
+
+    # ---------------- multimodal plumbing ----------------
+    _sql_media = """
+media AS (
+  SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         encode(text) AS media,
+         text,
+         CASE WHEN doc_id % 3 != 0
+              THEN CAST(doc_id % 7 AS INT) * 1000 + 1000 END AS duration_ms
+  FROM documents
+)"""
+
+    o["multimodal_meta"] = f"""
+WITH {_sql_media}
+SELECT media_id, kind, CAST(octet_length(media) AS INT) AS n_bytes,
+       CAST(16 AS INT) AS dim
+FROM media ORDER BY media_id"""
+
+    # NB: this DuckDB has no BLOB slicing; the corpus is pure ASCII
+    # (octet_length == length for every doc, all sfs), so slicing the
+    # VARCHAR text by characters is byte-identical to the Spark side's
+    # payload byte slices.
+    o["multimodal_frames"] = f"""
+WITH {_sql_media},
+v AS (
+  SELECT media_id, text AS body,
+         greatest(1, duration_ms // 1000) AS n,
+         greatest(1, octet_length(media) // greatest(1, duration_ms // 1000)) AS step
+  FROM media WHERE kind = 'video'
+),
+fr AS (
+  SELECT media_id, CAST(unnest(generate_series(0, n - 1)) AS INT) AS frame_idx,
+         body, step
+  FROM v
+)
+SELECT media_id, frame_idx,
+       to_base64(encode(substring(body, CAST(frame_idx * step + 1 AS INT), CAST(step AS INT)))) AS frame_b64
+FROM fr ORDER BY media_id, frame_idx"""
 
     return o

@@ -95,7 +95,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> Da
             for r in pdf.itertuples(index=False):
                 if r.kind != "video":
                     continue
-                dur = (r.meta["duration_ms"] if r.meta is not None else 0) or 0
+                # Arrow hands nullable int struct fields to pandas as
+                # floats — coerce before integer arithmetic
+                dur = int((r.meta["duration_ms"] if r.meta is not None else 0) or 0)
                 n = max(1, dur // every_ms)
                 if not fake:
                     raise NotImplementedError("no video codec; pass fake=True")
