@@ -64,25 +64,44 @@ def is_wand_eligible(ast: Node) -> bool:
 
 
 def _explode_blocks(shard_size: int):
+    """Flatten posting rows to per-(shard, block) rows, vectorized: the
+    only Python-level loops are the flattening of the per-row payload
+    byte lists (one step per BLOCK, not per posting); shard replication
+    for straddling blocks is a numpy repeat + offset trick."""
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {k: [] for k in ("shard", "term", "first", "last", "maxtf", "minnorm", "docb", "tfb", "normb")}
-            for r in pdf.itertuples(index=False):
-                for i in range(len(r.b_docs)):
-                    lo = int(r.b_first[i]) // shard_size
-                    hi = int(r.b_last[i]) // shard_size
-                    for sh in range(lo, hi + 1):
-                        rows["shard"].append(sh)
-                        rows["term"].append(r.term)
-                        rows["first"].append(int(r.b_first[i]))
-                        rows["last"].append(int(r.b_last[i]))
-                        rows["maxtf"].append(int(r.b_maxtf[i]))
-                        rows["minnorm"].append(int(r.b_minnorm[i]))
-                        rows["docb"].append(r.b_docs[i])
-                        rows["tfb"].append(r.b_tfs[i])
-                        rows["normb"].append(r.b_norms[i])
-            if rows["shard"]:
-                yield pd.DataFrame(rows)
+            counts = pdf["b_first"].map(len).to_numpy(np.int64)
+            if counts.sum() == 0:
+                continue
+            firsts = np.concatenate(list(pdf["b_first"])).astype(np.int64)
+            lasts = np.concatenate(list(pdf["b_last"])).astype(np.int64)
+            maxtfs = np.concatenate(list(pdf["b_maxtf"])).astype(np.int64)
+            minnorms = np.concatenate(list(pdf["b_minnorm"])).astype(np.int64)
+            terms = np.repeat(pdf["term"].to_numpy(), counts)
+            docb = np.array([x for row in pdf["b_docs"] for x in row], dtype=object)
+            tfb = np.array([x for row in pdf["b_tfs"] for x in row], dtype=object)
+            normb = np.array([x for row in pdf["b_norms"] for x in row], dtype=object)
+            lo = firsts // shard_size
+            n_sh = lasts // shard_size - lo + 1  # shards each block straddles
+            total = int(n_sh.sum())
+            starts = np.concatenate(([0], np.cumsum(n_sh[:-1])))
+            shards = np.repeat(lo, n_sh) + (
+                np.arange(total, dtype=np.int64) - np.repeat(starts, n_sh)
+            )
+            yield pd.DataFrame(
+                {
+                    "shard": shards,
+                    "term": np.repeat(terms, n_sh),
+                    "first": np.repeat(firsts, n_sh),
+                    "last": np.repeat(lasts, n_sh),
+                    "maxtf": np.repeat(maxtfs, n_sh).astype("int32"),
+                    "minnorm": np.repeat(minnorms, n_sh).astype("int32"),
+                    "docb": np.repeat(docb, n_sh),
+                    "tfb": np.repeat(tfb, n_sh),
+                    "normb": np.repeat(normb, n_sh),
+                }
+            )
 
     return gen
 
