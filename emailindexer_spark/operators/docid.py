@@ -67,6 +67,7 @@ def assign_doc_ids_with_total(
     num_partitions: int | None = None,
     checkpoint_offsets: bool = True,
     pinned: list | None = None,
+    max_broadcast_convs: int = 2_000_000,
 ) -> tuple[DataFrame, int | None]:
     """Like assign_doc_ids, also returning the total row count when the
     two-phase path computes it for free (None for the window path).
@@ -78,6 +79,17 @@ def assign_doc_ids_with_total(
     prefix sums stay valid without cutting lineage.  Use only when the
     caller runs its action while the pin is held (the build's doc_index
     write does).
+
+    Dense fast path: when turn_idx is verified dense from 0 within
+    every conversation (checked for free inside the conversation-counts
+    aggregation this method runs anyway) AND the conversation table is
+    broadcastable (≤ ``max_broadcast_convs`` rows), doc_id is the pure
+    arithmetic ``conv_offset + turn_idx`` over a broadcast-joined
+    offsets table — the per-turn rows are NEVER shuffled or window-
+    sorted.  Above the threshold (10^9+ conversations on a real
+    cluster) or on non-dense input, the general path engages: ONE
+    co-partitioned shuffle join on conv_id + a per-conversation
+    row_number window in the same partitioning.
     """
     if method == "window":
         w = Window.orderBy(*ORDER_COLS)
@@ -86,7 +98,16 @@ def assign_doc_ids_with_total(
         raise ValueError(method)
     spark = df.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    conv_counts = df.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    # density flags ride the same aggregation as the counts — the dense
+    # check is free (no extra pass, no extra job)
+    conv_counts = df.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        (
+            (F.max("turn_idx") != F.count("*") - 1)
+            | (F.min("turn_idx") != 0)
+            | (F.count_distinct(F.col("turn_idx")) != F.count("*"))
+        ).cast("int").alias("_sparse"),
+    )
     parted = (
         conv_counts.repartitionByRange(nparts, "conv_id")
         .sortWithinPartitions("conv_id")
@@ -94,12 +115,18 @@ def assign_doc_ids_with_total(
     )
     keep_persisted = False
     try:
-        part_sums = {
-            r["pid"]: r["s"]
-            for r in parted.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.sum("n_turns").alias("s"))
+        psums = (
+            parted.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(
+                F.sum("n_turns").alias("s"),
+                F.count("*").alias("n_convs"),
+                F.sum("_sparse").alias("n_sparse"),
+            )
             .collect()
-        }
+        )
+        part_sums = {r["pid"]: r["s"] for r in psums}
+        n_convs = sum(int(r["n_convs"]) for r in psums)
+        dense = all(int(r["n_sparse"] or 0) == 0 for r in psums)
         # driver-side prefix sum over at most `nparts` values
         prefix: dict[int, int] = {}
         acc = 0
@@ -118,6 +145,21 @@ def assign_doc_ids_with_total(
                 yield pd.DataFrame({"conv_id": pdf["conv_id"], "conv_offset": starts})
 
         offsets = parted.mapInPandas(local_cumsum, "conv_id string, conv_offset long")
+        if dense and n_convs <= max_broadcast_convs:
+            # verified-dense fast path: broadcast the conversation
+            # offsets and compute doc_id arithmetically — zero shuffle
+            # and zero sort of the (wide) per-turn rows.  The persisted
+            # `parted` pin stays REQUIRED until the caller's action runs
+            # (broadcast collection recomputes offsets from the cache).
+            if pinned is not None:
+                keep_persisted = True
+                pinned.append(parted)
+            else:
+                offsets = offsets.localCheckpoint(eager=True)
+            out = df.join(F.broadcast(offsets), "conv_id").withColumn(
+                "doc_id", (F.col("conv_offset") + F.col("turn_idx")).cast("long")
+            )
+            return out.drop("conv_offset"), acc
         if checkpoint_offsets:
             # Materialize offsets NOW (localCheckpoint cuts the lineage):
             # the prefix sums above are only valid for the exact

@@ -4,25 +4,31 @@ Replaces the reference's sequential paged scan → Lucene IndexWriter loop
 (EmailIndexGenerator.java:45-101) with a Spark-first pipeline:
 
   stage doc_index   sanitize (BodyReplyRemover parity, optional) →
-                    docID assignment (two-phase, operators/docid.py) →
-                    per-doc length + SmallFloat norm as PURE COLUMN
-                    EXPRESSIONS in the same projection (Java regex
-                    token count — functions/tokenizer.dl_expr — and
-                    functions/smallfloat.norm_byte_expr: no Python
+                    docID assignment (two-phase, operators/docid.py —
+                    verified-dense inputs take the broadcast-offsets
+                    fast path: NO shuffle or sort of the wide per-turn
+                    rows) → per-doc length + SmallFloat norm as PURE
+                    COLUMN EXPRESSIONS in the same projection (Java
+                    regex token count — functions/tokenizer.dl_expr —
+                    and functions/smallfloat.norm_byte_expr: no Python
                     worker, no per-token rows) → stored-fields table
   stage doc_stats   skinny projection of doc_index (doc_id, conv_id,
                     turn_idx, dl, norm), range-partitioned by doc_id;
                     global N/avgdl into the manifest from one tiny agg
-  stage postings    heavy-term detection from a DETERMINISTIC doc_id-
-                    sampled tokenize (exact full pass below the sampling
-                    cutoff) → explicit skew splitting: df > threshold
-                    terms are cut into doc-range splits → ONE tokenize
-                    pass feeding the repartition-by-(term, split)
-                    shuffle directly (no persist, no token-stream
-                    round-trip through storage) → mapInPandas encodes
-                    each sorted run into delta+varbyte blocks with
-                    block-max metadata → written partitioned by
-                    part = md5(term) % P (query-side partition pruning)
+  stage postings    heavy-term detection from a DETERMINISTIC hash-of-
+                    doc_id-sampled tokenize (exact full pass below the
+                    sampling cutoff; hash, not modulo, so doc_id-
+                    periodic terms cannot dodge the sample) → explicit
+                    skew splitting: df > threshold terms are cut into
+                    doc-range splits → ONE tokenize pass feeding the
+                    single wide shuffle directly (no persist, no token-
+                    stream round-trip through storage), keyed on
+                    part·M + hash(term, split): runs stay contiguous
+                    for the encoder AND each task lands in one
+                    part = md5(term) % P output partition, so the
+                    partitionBy("part") write needs no second exchange
+                    → mapInPandas encodes each sorted run into
+                    delta+varbyte blocks with block-max metadata
   stage term_dict   (term, part, df) table range-partitioned + sorted by
                     term — Lucene's sorted term dictionary: prefix
                     queries expand here (vocab-scale scan with row-group
@@ -40,9 +46,10 @@ Scale notes (the 100 TB story):
   stats never touch per-token rows (they are column expressions over the
   text), so no second token-stream shuffle, persist, or storage bounce,
 * heavy-term detection samples a fixed-size deterministic doc subset
-  (doc_id % mod == 0, partition-invariant, exact when the corpus is
-  small); a binomial-tail mis-estimate only changes the physical split
-  fan-out of a term near the threshold, never query results,
+  (xxhash64(doc_id) % mod == 0 — partition-invariant, exact when the
+  corpus is small, immune to doc_id-periodic term placement); a
+  binomial-tail mis-estimate only changes the physical split fan-out of
+  a term near the threshold, never query results,
 * skew: without splitting, a 40%-presence stopword's posting run lands in
   one task; with df-proportional splits each task gets ≤ split_target
   postings regardless of term skew,
@@ -364,21 +371,26 @@ class IndexBuilder:
                 man.stages.pop(st)
             man._flush()
 
+        par_target = max(
+            self.num_parts, 2 * self.spark.sparkContext.defaultParallelism
+        )
+
         # ---------------------------------------------------- doc_index
         if not man.is_complete("doc_index"):
             t0 = time.time()
-            df = transcripts
+            # floor the scan parallelism FIRST (a plain round-robin
+            # exchange, no sort): docid's dense fast path broadcast-joins
+            # the conversation offsets, so everything from here to the
+            # doc_index write is map-side and runs at the scan's
+            # parallelism.  At cluster scale inputs arrive in thousands
+            # of splits and this is a no-op.
+            df = ensure_parallelism(transcripts, par_target)
             if self.validate:
                 validate_transcripts(df)
             pins: list = []
             df, _n_total = assign_doc_ids_with_total(
                 df, method=self.docid_method, checkpoint_offsets=False, pinned=pins
             )
-            # sanitize + per-doc length/norm run AFTER the docid join, in
-            # the join's own partitioning (hashed by conv_id) — the
-            # expensive per-row work is spread over shuffle_partitions
-            # regardless of how few splits the raw scan produced, and the
-            # text payload is shuffled exactly once.
             if self.sanitize:
                 clean = F.pandas_udf(remove_quoted_replies, "string")
                 df = df.withColumn("text", clean(F.col("text")))
@@ -470,19 +482,20 @@ class IndexBuilder:
             )
 
         # ---------------------------------------------------- postings
-        par_target = max(
-            self.num_parts, 2 * self.spark.sparkContext.defaultParallelism
-        )
         if not man.is_complete("postings"):
             t0 = time.time()
             n_rows = int(man.stats["n_rows"])
             # heavy-term detection over a deterministic doc_id sample
-            # (mod == 1 → exact full pass; doc_ids are dense so the
-            # sample is uniform, partition-invariant and reproducible)
+            # (mod == 1 → exact full pass).  Sampled on a HASH of doc_id,
+            # not a raw modulo: term occurrence that is periodic in
+            # doc_id (derived fields, conv-order structure) could land
+            # entirely off a modulo stride, zeroing df_est for a
+            # genuinely heavy term; the hash stays deterministic and
+            # partition-invariant but is immune to periodic alignment.
             sample_mod = min(max(1, n_rows // self.heavy_sample_docs), 4096)
             src = doc_index.select("doc_id", *self.fields)
             sample_src = (
-                src.where(F.pmod(F.col("doc_id"), F.lit(sample_mod)) == 0)
+                src.where(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
                 if sample_mod > 1
                 else src
             )
@@ -519,22 +532,31 @@ class IndexBuilder:
             shuffle_cols = ["term", "split_id", "doc_id", "tf", "norm"] + (
                 ["pos"] if self.positions else []
             )
+            # ONE shuffle end-to-end: the per-token rows are hashed on
+            # part·M + hash(term, split_id) — every (term, split) run
+            # lands whole in one task (encode needs contiguity), heavy-
+            # term splits spread over that part's M buckets, and each
+            # task holds ~one part value, so the partitionBy("part")
+            # write needs NO second exchange of the encoded payload
+            # (previously the ~encoded-index-sized repartition by part).
+            m_buckets = max(1, par_target // self.num_parts)
+            part_col = term_part_expr(F.col("term"), self.num_parts)
+            bucket = (
+                part_col * m_buckets
+                + F.pmod(F.xxhash64("term", "split_id"), F.lit(m_buckets))
+                if m_buckets > 1
+                else part_col
+            )
             postings = (
                 # dl is not needed downstream — drop it before the wide
                 # shuffle so the per-token payload stays minimal
                 rows.select(*shuffle_cols)
-                .repartition(
-                    max(self.num_parts, self.spark.sparkContext.defaultParallelism * 2),
-                    "term",
-                    "split_id",
-                )
+                .repartition(self.num_parts * m_buckets, bucket)
                 .sortWithinPartitions("term", "split_id", "doc_id")
                 .mapInPandas(_encode_runs(self.block_size, self.num_parts), POSTINGS_SCHEMA)
             )
             (
-                postings.repartition(self.num_parts, "part")
-                .sortWithinPartitions("term", "split_id")
-                .write.mode("overwrite")
+                postings.write.mode("overwrite")
                 .partitionBy("part")
                 .parquet(man.stage_path("postings"))
             )

@@ -49,6 +49,34 @@ class Term(Node):
 class Phrase(Node):
     terms: tuple[str, ...] = ()
     field: str | None = None
+    #: Lucene sloppy-phrase slop (``"a b"~k``).  Our slop semantics are
+    #: EXACT-ORDER with a total-gap budget: positions p_0 < … < p_{m-1}
+    #: of the respective terms with (p_{m-1} - p_0) - (m-1) <= slop;
+    #: freq = number of starting occurrences p_0 that begin >=1 match
+    #: (greedy-minimal completion).  Lucene's SloppyPhraseScorer is
+    #: order-tolerant with 1/(distance+1) weighting — a documented
+    #: divergence (SURVEY.md §2.9); slop=0 is exact Lucene adjacency.
+    slop: int = 0
+
+
+@dataclass
+class Fuzzy(Node):
+    """Lucene FuzzyQuery (``term~``, ``term~1``, ``term~2``): expands to
+    vocabulary terms within Levenshtein edit distance ``max_edits``
+    (classic Levenshtein — no transposition credit — so Spark
+    ``levenshtein()`` and DuckDB ``levenshtein()`` agree), capped at
+    ``MAX_FUZZY_EXPANSIONS`` terms by descending df (term asc tie-break),
+    then CONSTANT-SCORE rewritten like Prefix.  Lucene's default rewrite
+    blends per-term scores (TopTermsBlendedFreqScoringRewrite); the
+    constant-score rewrite is Lucene's own documented alternative —
+    divergence recorded in SURVEY.md §2.9."""
+
+    text: str = ""
+    max_edits: int = 2
+    field: str | None = None
+
+
+MAX_FUZZY_EXPANSIONS = 50
 
 
 @dataclass
@@ -92,8 +120,9 @@ def _lex(q: str) -> list[str]:
             j = q.find('"', i + 1)
             if j < 0:
                 raise QueryParseError(f"unterminated phrase in {q!r}")
-            out.append(q[i : j + 1])
-            i = j + 1
+            j = _extend_suffix(q, j + 1)  # keep ~slop / ^boost attached
+            out.append(q[i:j])
+            i = j
         else:
             j = i
             while j < n and not q[j].isspace() and q[j] not in '()"':
@@ -104,7 +133,7 @@ def _lex(q: str) -> list[str]:
                 k = q.find('"', j + 1)
                 if k < 0:
                     raise QueryParseError(f"unterminated phrase in {q!r}")
-                j = k + 1
+                j = _extend_suffix(q, k + 1)  # keep ~slop / ^boost attached
             # range bodies contain spaces (`[a TO b]`) — extend the token
             # to the closing bracket
             tok = q[i:j]
@@ -135,18 +164,54 @@ def _strip_boost(tok: str) -> tuple[str, float]:
 import re as _re
 
 _FIELD_RE = _re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", _re.DOTALL)
+_SUFFIX_RE = _re.compile(r"(?:~\d*|\^\d+(?:\.\d+)?)+")
+_BOOST_TAIL = _re.compile(r"\^(\d+(?:\.\d+)?)$")
+_TILDE_TAIL = _re.compile(r"~(\d*)$")
+
+
+def _extend_suffix(q: str, j: int) -> int:
+    """Extend a token end past trailing ``~slop`` / ``^boost`` suffixes
+    (classic-parser grammar: ``"a b"~2``, ``"a b"^3``, ``"a b"~2^3``)."""
+    m = _SUFFIX_RE.match(q, j)
+    return m.end() if m else j
+
+
+def _strip_suffixes(tok: str) -> tuple[str, int | None, float]:
+    """tok → (body, tilde, boost).  ``tilde`` is the integer after a
+    trailing ``~`` (Lucene fuzzy edits / phrase slop), -1 for a bare
+    ``~`` (caller applies the grammar default), None if absent.  Boost
+    is stripped outermost-first, so both ``body~2^3`` and ``body^3~2``
+    parse; each suffix kind is consumed at most once."""
+    boost = 1.0
+    tilde: int | None = None
+    m = _BOOST_TAIL.search(tok)
+    if m:
+        boost = float(m.group(1))
+        tok = tok[: m.start()]
+    m = _TILDE_TAIL.search(tok)
+    if m:
+        tilde = int(m.group(1)) if m.group(1) else -1
+        tok = tok[: m.start()]
+        if boost == 1.0:  # allow "body~2^3" (boost after tilde)
+            m2 = _BOOST_TAIL.search(tok)
+            if m2:
+                boost = float(m2.group(1))
+                tok = tok[: m2.start()]
+    return tok, tilde, boost
 
 
 def _leaf(tok: str, simple: bool) -> Node | None:
-    tok, boost = _strip_boost(tok)
-    # `field:term` routes to that field (validated against the index's
-    # field list at planning time — unknown fields raise there, they are
-    # never silently stripped)
+    tok, tilde, boost = _strip_suffixes(tok)
+    # `field:term` routes to that field; a field absent from the index
+    # matches nothing at planning time (Lucene: a TermQuery on an
+    # unindexed field has zero hits)
     field: str | None = None
     m = _FIELD_RE.match(tok)
     if m:
         field, tok = m.group(1), m.group(2)
     if tok and tok[0] in "[{" and tok[-1] in "]}":
+        if tilde is not None:
+            raise QueryParseError(f"'~' is not valid after a range in {tok!r}")
         # Lucene TermRangeQuery syntax: [lo TO hi] incl / {lo TO hi} excl
         parts = _re.split(r"\s+TO\s+", tok[1:-1].strip())
         if len(parts) != 2:
@@ -172,10 +237,15 @@ def _leaf(tok: str, simple: bool) -> Node | None:
         terms = tuple(tokenize(tok[1:-1], simple=simple))
         if not terms:
             return None
+        # `"..."~k` = phrase slop (bare `~` on a phrase means slop 0 in
+        # the classic parser); slop is any non-negative int
+        slop = 0 if tilde in (None, -1) else tilde
         if len(terms) == 1:
             return Term(boost=boost, text=terms[0], field=field)
-        return Phrase(boost=boost, terms=terms, field=field)
+        return Phrase(boost=boost, terms=terms, field=field, slop=slop)
     if tok.endswith("*") and len(tok) > 1:
+        if tilde is not None:
+            raise QueryParseError(f"'~' is not valid on a wildcard in {tok!r}")
         pre = tokenize(tok[:-1], simple=simple)
         if len(pre) != 1:
             return None
@@ -183,6 +253,19 @@ def _leaf(tok: str, simple: bool) -> Node | None:
     toks = tokenize(tok, simple=simple)
     if not toks:
         return None
+    if tilde is not None:
+        # `term~` / `term~N` = FuzzyQuery; Lucene caps edit distance at 2
+        # (bare `~` defaults to 2), and `term~0` is a plain TermQuery
+        if len(toks) != 1:
+            raise QueryParseError(f"fuzzy term {tok!r} must analyze to one token")
+        edits = 2 if tilde == -1 else tilde
+        if edits > 2:
+            raise QueryParseError(
+                f"maximum supported fuzzy edit distance is 2, got {tilde} in {tok!r}"
+            )
+        if edits == 0:
+            return Term(boost=boost, text=toks[0], field=field)
+        return Fuzzy(boost=boost, text=toks[0], max_edits=edits, field=field)
     if len(toks) == 1:
         return Term(boost=boost, text=toks[0], field=field)
     # one input word analyzed into several tokens (e.g. "a1.b") → phrase,
@@ -193,26 +276,29 @@ def _leaf(tok: str, simple: bool) -> Node | None:
 def _reject_unsupported(tok: str) -> None:
     """Fail LOUDLY on classic-parser syntax we do not implement.
 
-    The reference's parser accepts ranges (``[a TO b]``), fuzzy/slop
-    (``term~2``) and embedded wildcards (``te?m``, ``te*m``); silently
-    analyzing them into bare terms returns wrong-but-plausible results,
-    so raise instead (quoted phrase bodies are analyzed text and exempt).
+    The reference's parser accepts embedded wildcards (``te?m``,
+    ``te*m``); silently analyzing them into bare terms returns
+    wrong-but-plausible results, so raise instead (quoted phrase bodies
+    are analyzed text and exempt).  Fuzzy ``term~N`` / slop ``"a b"~k``
+    / ranges ``[a TO b]`` ARE supported and validated by ``_leaf``.
     """
-    if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+    body, _tilde, _boost = _strip_suffixes(tok)
+    if not body:
+        # a stray `^2` / `~1` token (e.g. from `"a b" ^2` with a space)
+        raise QueryParseError(f"dangling suffix token {tok!r}")
+    if body.startswith('"') and body.endswith('"') and len(body) >= 2:
         return
-    m = _FIELD_RE.match(tok)
+    m = _FIELD_RE.match(body)
     if m and m.group(2).startswith('"') and m.group(2).endswith('"'):
         return  # field:"quoted phrase" — analyzed text
-    body, _ = _strip_boost(tok)
     if "~" in body:
         raise QueryParseError(
-            f"fuzzy/slop syntax {tok!r} is not supported (no '~' operator)"
+            f"unsupported '~' in {tok!r} (supported: term~, term~1, term~2, \"a b\"~k)"
         )
     # well-formed ranges ([a TO b] / {a TO b}, optionally field-prefixed)
     # are parsed (and validated) by _leaf — incl. '*' as an open end;
     # stray brackets must not silently degrade
-    m2 = _FIELD_RE.match(body)
-    rng = m2.group(2) if m2 else body
+    rng = m.group(2) if m else body
     if rng and rng[0] in "[{" and rng[-1] in "]}":
         return
     if any(c in body for c in "[]{}"):
@@ -228,7 +314,9 @@ def _reject_unsupported(tok: str) -> None:
 def parse(query: str, simple: bool = False) -> Bool:
     """Parse a query string into a Bool root node."""
     toks = _lex(query)
-    for t in toks:
+    for idx, t in enumerate(toks):
+        if t.startswith("^") and idx > 0 and toks[idx - 1] == ")":
+            continue  # group boost `(...)^2`, consumed by _parse_bool
         _reject_unsupported(t)
     node, rest = _parse_bool(toks, 0, simple)
     if rest != len(toks):

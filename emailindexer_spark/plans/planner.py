@@ -36,15 +36,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emailindexer_spark.functions import bm25
-from emailindexer_spark.functions.codec import decode_block, decode_positions
+from emailindexer_spark.functions.codec import (
+    decode_block,
+    decode_positions,
+    varbyte_decode,
+)
 from emailindexer_spark.functions.smallfloat import encode_lengths
 from emailindexer_spark.plans import wand as wand_mod
 from emailindexer_spark.plans.builder import avgdl_from_stats, term_part_py
 from emailindexer_spark.plans.parser import (
+    MAX_FUZZY_EXPANSIONS,
     MUST,
     MUST_NOT,
     SHOULD,
     Bool,
+    Fuzzy,
     Node,
     Phrase,
     Prefix,
@@ -94,27 +100,33 @@ def _decode_score_rows(idf_map: dict[str, float], avgdl: float, avgdl_map: dict[
 
 
 def _decode_docs_only():
-    """mapInPandas over posting rows → distinct doc_ids (prefix match)."""
+    """mapInPandas over posting rows → doc_ids (constant-score / NOT
+    exclusion).  Decodes ONLY the docID delta stream — tf/norm payloads
+    are neither read from parquet (see DOCS_COLS) nor decoded."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             docs = []
             for r in pdf.itertuples(index=False):
                 for i in range(len(r.b_docs)):
-                    d, _t, _n = decode_block(int(r.b_first[i]), r.b_docs[i], r.b_tfs[i], r.b_norms[i])
-                    docs.append(d)
+                    deltas = varbyte_decode(r.b_docs[i]).astype(np.int64)
+                    docs.append(np.cumsum(deltas) + int(r.b_first[i]))
             if docs:
                 yield pd.DataFrame({"doc_id": np.unique(np.concatenate(docs))})
 
     return gen
 
 
-def _phrase_score_fn(terms: tuple[str, ...], idf_sum: float, avgdl: float, simple: bool):
+def _phrase_score_fn(
+    terms: tuple[str, ...], idf_sum: float, avgdl: float, simple: bool, slop: int = 0
+):
     """mapInPandas over candidate (doc_id, text) → (doc_id, score).
 
-    Exact Lucene PhraseQuery semantics: tf = number of exact adjacent
-    occurrences; idf = sum of constituent term idfs; doc norm re-derived
-    from the text (identical to the indexed norm byte by construction).
+    Position-less-index fallback.  slop=0: exact Lucene PhraseQuery
+    adjacency; slop>0: the same exact-order greedy-chain semantics as
+    the positions path (see _phrase_match_positions).  idf = sum of
+    constituent term idfs; doc norm re-derived from the text (identical
+    to the indexed norm byte by construction).
     """
 
     from emailindexer_spark.functions.tokenizer import tokenize_series
@@ -133,14 +145,40 @@ def _phrase_score_fn(terms: tuple[str, ...], idf_sum: float, avgdl: float, simpl
             flat = pd.DataFrame(
                 {"row": rows, "pos": pos, "term": np.concatenate([t for t in toks.to_numpy() if len(t)])}
             )
-            # adjacency via successive (row, pos) merges — fully vectorized
-            cur = flat.loc[flat["term"] == terms[0], ["row", "pos"]]
-            for i in range(1, m):
-                nxt = flat.loc[flat["term"] == terms[i], ["row", "pos"]].copy()
-                nxt["pos"] -= i
-                cur = cur.merge(nxt, on=["row", "pos"])
-                if cur.empty:
-                    break
+            if slop == 0:
+                # adjacency via successive (row, pos) merges — vectorized
+                cur = flat.loc[flat["term"] == terms[0], ["row", "pos"]]
+                for i in range(1, m):
+                    nxt = flat.loc[flat["term"] == terms[i], ["row", "pos"]].copy()
+                    nxt["pos"] -= i
+                    cur = cur.merge(nxt, on=["row", "pos"])
+                    if cur.empty:
+                        break
+            else:
+                cur = flat.loc[flat["term"] == terms[0], ["row", "pos"]].rename(
+                    columns={"pos": "e"}
+                )
+                cur["p0"] = cur["e"]
+                for i in range(1, m):
+                    if cur.empty:
+                        break
+                    nxt = flat.loc[flat["term"] == terms[i], ["row", "pos"]].sort_values(
+                        "pos", kind="stable"
+                    )
+                    cur = pd.merge_asof(
+                        cur.sort_values("e", kind="stable"),
+                        nxt,
+                        left_on="e",
+                        right_on="pos",
+                        by="row",
+                        direction="forward",
+                        allow_exact_matches=False,
+                    )
+                    cur = cur.loc[
+                        cur["pos"].notna() & (cur["pos"] <= cur["p0"] + i + slop)
+                    ]
+                    cur = cur.drop(columns=["e"]).rename(columns={"pos": "e"})
+                    cur = cur.assign(e=cur["e"].astype(np.int64))
             if cur.empty:
                 continue
             freq = cur.groupby("row").size()
@@ -212,16 +250,26 @@ def _decode_positions_stream(phrase_terms: tuple[str, ...]):
     return gen
 
 
-def _phrase_match_positions(m: int, idf_sum: float, avgdl: float):
+def _phrase_match_positions(m: int, idf_sum: float, avgdl: float, slop: int = 0):
     """mapInPandas over doc_id-partitioned (doc, slot, tf, pos_bytes)
     rows → scores.
 
     Per slot, the partition's payloads are decoded in ONE vectorized
-    varbyte pass (concatenated buffers + per-doc tf counts); adjacency
-    is m-1 vectorized merges on (doc_id, pos); phrase tf = matches per
-    doc; score is the standard BM25 partial with the SUMMED constituent
-    idf (Lucene PhraseWeight).  The whole partition is concatenated
-    first: a doc's rows may span Arrow batches."""
+    varbyte pass (concatenated buffers + per-doc tf counts).
+
+    * ``slop == 0`` — exact Lucene PhraseQuery adjacency: m-1 vectorized
+      merges on (doc_id, pos - slot); phrase tf = matches per doc.
+    * ``slop > 0`` — exact-order sloppy phrase (documented semantics,
+      plans/parser.py Phrase.slop): greedily chain each start position
+      p_0 to the SMALLEST next-slot position > current (a per-doc
+      ``merge_asof`` forward search — greedy-minimal completion is
+      sufficient: taking the smallest feasible p_i keeps every later
+      choice open), pruning when p_i > p_0 + i + slop; freq = surviving
+      start positions per doc.
+
+    Score is the standard BM25 partial with the SUMMED constituent idf
+    (Lucene PhraseWeight).  The whole partition is concatenated first: a
+    doc's rows may span Arrow batches."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         batches = list(it)
@@ -229,7 +277,7 @@ def _phrase_match_positions(m: int, idf_sum: float, avgdl: float):
             return
         pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
 
-        def slot_frame(i: int) -> pd.DataFrame:
+        def slot_frame(i: int, shift: bool) -> pd.DataFrame:
             sub = pdf.loc[pdf["slot"] == i]
             if sub.empty:
                 return pd.DataFrame(
@@ -241,26 +289,75 @@ def _phrase_match_positions(m: int, idf_sum: float, avgdl: float):
             tfs = sub["tf"].to_numpy(np.int64)
             pos = decode_positions(b"".join(sub["pos"]), tfs)
             out = pd.DataFrame(
-                {"doc_id": np.repeat(sub["doc_id"].to_numpy(np.int64), tfs), "pos": pos - i}
+                {
+                    "doc_id": np.repeat(sub["doc_id"].to_numpy(np.int64), tfs),
+                    "pos": pos - i if shift else pos,
+                }
             )
             if i == 0:
                 out["norm"] = np.repeat(sub["norm"].to_numpy(np.int64), tfs)
             return out
 
-        cur = slot_frame(0)
-        for i in range(1, m):
+        if slop == 0:
+            cur = slot_frame(0, shift=True)
+            for i in range(1, m):
+                if cur.empty:
+                    return
+                cur = cur.merge(slot_frame(i, shift=True), on=["doc_id", "pos"])
             if cur.empty:
                 return
-            cur = cur.merge(slot_frame(i), on=["doc_id", "pos"])
-        if cur.empty:
-            return
-        g = cur.groupby("doc_id").agg(freq=("pos", "size"), norm=("norm", "first"))
+            g = cur.groupby("doc_id").agg(freq=("pos", "size"), norm=("norm", "first"))
+        else:
+            cur = slot_frame(0, shift=False).rename(columns={"pos": "e"})
+            cur["p0"] = cur["e"]
+            for i in range(1, m):
+                if cur.empty:
+                    return
+                nxt = slot_frame(i, shift=False).sort_values("pos", kind="stable")
+                cur = pd.merge_asof(
+                    cur.sort_values("e", kind="stable"),
+                    nxt,
+                    left_on="e",
+                    right_on="pos",
+                    by="doc_id",
+                    direction="forward",
+                    allow_exact_matches=False,
+                )
+                cur = cur.loc[cur["pos"].notna() & (cur["pos"] <= cur["p0"] + i + slop)]
+                cur = cur.drop(columns=["e"]).rename(columns={"pos": "e"})
+                # a missed asof match makes the column float64 — restore
+                # int64 so the next merge_asof keys are dtype-compatible
+                cur = cur.assign(e=cur["e"].astype(np.int64))
+            if cur.empty:
+                return
+            g = cur.groupby("doc_id").agg(freq=("p0", "size"), norm=("norm", "first"))
         f = g["freq"].to_numpy(np.float64)
         dl = bm25.LENGTH_TABLE[g["norm"].to_numpy(np.int64)].astype(np.float64)
         sc = idf_sum * f / (f + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl))
         yield pd.DataFrame({"doc_id": g.index.to_numpy(), "score": sc})
 
     return gen
+
+
+def _flatten_shoulds(ast: Node) -> Node:
+    """Inline unit-boost pure-SHOULD child Bools into their parent (one
+    level — field resolution creates at most one).  Score-preserving:
+    BooleanQuery sums SHOULD clause scores either way."""
+    if not isinstance(ast, Bool):
+        return ast
+    out: list[tuple[str, Node]] = []
+    for o, c in ast.clauses:
+        if (
+            o == SHOULD
+            and isinstance(c, Bool)
+            and c.boost == 1.0
+            and c.clauses
+            and all(oo == SHOULD for oo, _ in c.clauses)
+        ):
+            out.extend(c.clauses)
+        else:
+            out.append((o, c))
+    return Bool(boost=ast.boost, clauses=out)
 
 
 class SearchEngine:
@@ -319,6 +416,8 @@ class SearchEngine:
     SCORE_COLS = ("term", "b_first", "b_docs", "b_tfs", "b_norms")
     WAND_COLS = SCORE_COLS + ("b_last", "b_maxtf", "b_minnorm")
     POS_COLS = ("term", "b_first", "b_docs", "b_tfs", "b_norms", "b_pos")
+    #: docs-only reads (constant-score, MUST_NOT): no tf/norm/pos IO
+    DOCS_COLS = ("b_first", "b_docs")
 
     def _rows_for_terms(self, terms: set[str], cols: tuple[str, ...] | None = None) -> DataFrame:
         """Partition-pruned + term-predicate-pushed posting selection."""
@@ -352,6 +451,15 @@ class SearchEngine:
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], SCORE_SCHEMA)
 
+    def _docs_for_terms(self, terms: set[str]) -> DataFrame:
+        """doc_ids matching ANY of ``terms`` — no tf/norm decode, no
+        scoring.  The MUST_NOT path: an excluded (typically heavy) term
+        needs membership only, so skip ~2/3 of its payload IO and all
+        the BM25 math."""
+        return self._rows_for_terms(terms, self.DOCS_COLS).mapInPandas(
+            _decode_docs_only(), "doc_id long"
+        )
+
     # ------------------------------------------------------------ field routing
 
     def _key(self, field: str, term: str) -> str:
@@ -367,11 +475,10 @@ class SearchEngine:
             # MultiFieldQueryParser, EmailIndexSearcher.java:49-53)
             return list(self.fields)
         if field not in self.fields:
-            from emailindexer_spark.plans.parser import QueryParseError
-
-            raise QueryParseError(
-                f"unknown field {field!r}; indexed fields: {', '.join(self.fields)}"
-            )
+            # Lucene parity: a query on an unindexed field parses fine
+            # and simply matches zero docs (a TermQuery over a field no
+            # document carries) — it must not raise
+            return []
         return [field]
 
     def _field_of_key(self, key: str) -> str:
@@ -408,9 +515,16 @@ class SearchEngine:
                     boost=node.boost,
                     terms=tuple(self._key(f, t) for t in node.terms),
                     field=f,
+                    slop=node.slop,
+                )
+            if isinstance(node, Fuzzy):
+                return Fuzzy(
+                    boost=node.boost, text=node.text, max_edits=node.max_edits, field=f
                 )
             raise TypeError(type(node))
 
+        if not flds:
+            return Bool(boost=1.0, clauses=[])  # unknown field: matches nothing
         if len(flds) == 1:
             return mk(flds[0])
         return Bool(boost=1.0, clauses=[(SHOULD, mk(f)) for f in flds])
@@ -458,11 +572,52 @@ class SearchEngine:
         else:  # pre-term_dict index layout: full postings scan
             prows = self.postings.where(pred)
         docs = (
-            prows.select("b_first", "b_docs", "b_tfs", "b_norms")
+            prows.select(*self.DOCS_COLS)
             .mapInPandas(_decode_docs_only(), "doc_id long")
             .distinct()
         )
         return docs.withColumn("score", F.lit(1.0 * boost))
+
+    def _fuzzy_expand(
+        self, text: str, field: str, max_edits: int, max_expansions: int = MAX_FUZZY_EXPANSIONS
+    ) -> list[str]:
+        """FuzzyQuery expansion against the sorted term dictionary:
+        vocabulary keys of ``field`` within Levenshtein distance
+        ``max_edits`` of ``text`` (length-band pre-filter, then
+        ``F.levenshtein`` — classic Levenshtein, same function DuckDB
+        exposes, so oracles reproduce the expansion exactly).  Capped at
+        ``max_expansions`` terms by df desc / term asc (Lucene
+        FuzzyQuery maxExpansions=50); the scan is vocab-scale, never
+        postings-scale — Lucene walks its terms dict with a Levenshtein
+        automaton in the same place."""
+        pref = "" if field == self.fields[0] else field + ":"
+        src = self.term_dict
+        if src is None:  # pre-term_dict index layout: derive vocab from postings
+            src = self.postings.groupBy("term").agg(F.sum("df_row").alias("df"))
+        bare = (
+            F.col("term").substr(F.lit(len(pref) + 1), F.length("term"))
+            if pref
+            else F.col("term")
+        )
+        scope = (
+            F.col("term").startswith(pref)
+            if pref
+            else ~F.col("term").contains(":")
+        )
+        pred = (
+            scope
+            & (F.abs(F.length(bare) - F.lit(len(text))) <= max_edits)
+            & (F.levenshtein(bare, F.lit(text)) <= max_edits)
+        )
+        rows = (
+            src.where(pred)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
 
     def _leaf_df(
         self,
@@ -479,6 +634,13 @@ class SearchEngine:
             f = node.field or self.fields[0]
             pred = F.col("term").startswith(self._key(f, node.prefix))
             return self._constant_score_docs(pred, f, node.boost)
+        if isinstance(node, Fuzzy):
+            f = node.field or self.fields[0]
+            keys = self._fuzzy_expand(node.text, f, node.max_edits)
+            if not keys:
+                return None
+            docs = self._docs_for_terms(set(keys)).distinct()
+            return docs.withColumn("score", F.lit(1.0 * node.boost))
         if isinstance(node, TermRange):
             # Lucene TermRangeQuery: constant-score rewrite over the
             # dictionary range, same machinery as Prefix
@@ -516,7 +678,9 @@ class SearchEngine:
                     _decode_positions_stream(node.terms), POS_STREAM_SCHEMA
                 )
                 scored = stream.repartition("doc_id").mapInPandas(
-                    _phrase_match_positions(len(node.terms), idf_sum, field_avgdl),
+                    _phrase_match_positions(
+                        len(node.terms), idf_sum, field_avgdl, node.slop
+                    ),
                     SCORE_SCHEMA,
                 )
                 return scored.withColumn("score", F.col("score") * F.lit(node.boost))
@@ -535,7 +699,7 @@ class SearchEngine:
             )
             cand_text = cand.join(self.doc_index.select("doc_id", "text"), "doc_id")
             scored = cand_text.mapInPandas(
-                _phrase_score_fn(node.terms, idf_sum, self.avgdl, self.simple),
+                _phrase_score_fn(node.terms, idf_sum, self.avgdl, self.simple, node.slop),
                 SCORE_SCHEMA,
             )
             return scored.withColumn("score", F.col("score") * F.lit(node.boost))
@@ -555,17 +719,18 @@ class SearchEngine:
             return self._score_flat_terms(node, idf_map, avgdl_map)
         musts, shoulds, nots = [], [], []
         for occur, child in node.clauses:
+            if occur == MUST_NOT:
+                d = self._not_docs(child, idf_map, avgdl_map)
+                if d is not None:
+                    nots.append(d)
+                continue
             d = self._score_node(child, idf_map, avgdl_map)
             if occur == MUST:
                 if d is None:
                     return None  # unmatched MUST → nothing matches
                 musts.append(d)
-            elif occur == SHOULD:
-                if d is not None:
-                    shoulds.append(d)
-            else:
-                if d is not None:
-                    nots.append(d.select("doc_id"))
+            elif d is not None:
+                shoulds.append(d)
         should_sum = None
         if shoulds:
             should_sum = (
@@ -594,6 +759,31 @@ class SearchEngine:
             base = base.withColumn("score", F.col("score") * F.lit(node.boost))
         return base
 
+    def _not_docs(
+        self,
+        node: Node,
+        idf_map: dict[str, float],
+        avgdl_map: dict[str, float] | None,
+    ) -> DataFrame | None:
+        """Membership-only evaluation of a MUST_NOT clause: Term leaves
+        (including the Bool-of-per-field-Terms a bare leaf resolves to on
+        a multi-field index) take the docs-only decode path; anything
+        else falls back to scoring and projects doc_id."""
+        texts: set[str] | None = None
+        if isinstance(node, Term):
+            texts = {node.text}
+        elif (
+            isinstance(node, Bool)
+            and node.clauses
+            and all(o == SHOULD and isinstance(c, Term) for o, c in node.clauses)
+        ):
+            texts = {c.text for _, c in node.clauses}
+        if texts is not None:
+            texts = {t for t in texts if t in idf_map}
+            return self._docs_for_terms(texts) if texts else None
+        d = self._score_node(node, idf_map, avgdl_map)
+        return d.select("doc_id") if d is not None else None
+
     @staticmethod
     def _is_flat_terms(node: Bool) -> bool:
         return all(isinstance(c, Term) for _, c in node.clauses) and node.clauses
@@ -620,20 +810,17 @@ class SearchEngine:
                 boosts[c.text] = boosts.get(c.text, 0.0) + c.boost
         if not scoring:
             return None
-        all_terms = set(scoring) | set(nots)
-        scored = self._scored_terms_df(
-            {t for t in all_terms if t in idf_map}, idf_map, avgdl_map
-        )
+        # MUST_NOT terms never enter the scored stream: they need doc
+        # membership only, via the docs-only decode (no tf/norm IO, no
+        # BM25 math on what is typically a heavy exclusion term)
+        scored = self._scored_terms_df(set(scoring), idf_map, avgdl_map)
         boost_expr = F.create_map(
             *[x for t, b in boosts.items() for x in (F.lit(t), F.lit(b))]
         )
         aggs = [
-            F.sum(
-                F.when(
-                    F.col("term").isin(scoring),
-                    F.col("score") * F.element_at(boost_expr, F.col("term")),
-                ).otherwise(0.0)
-            ).alias("score")
+            F.sum(F.col("score") * F.element_at(boost_expr, F.col("term"))).alias(
+                "score"
+            )
         ]
         if musts:
             aggs.append(
@@ -641,22 +828,12 @@ class SearchEngine:
                     F.when(F.col("term").isin(musts), F.col("term"))
                 ).alias("_nmust")
             )
-        if nots:
-            aggs.append(
-                F.max(F.when(F.col("term").isin(nots), 1).otherwise(0)).alias("_hit_not")
-            )
         g = scored.groupBy("doc_id").agg(*aggs)
         if musts:
             g = g.where(F.col("_nmust") == len(set(musts))).drop("_nmust")
-        if nots:
-            g = g.where(F.col("_hit_not") == 0).drop("_hit_not")
-        if not musts and nots:
-            # a doc matched ONLY by a not-term would survive as a score-0
-            # row — require ≥1 scoring-term match
-            g = g.join(
-                scored.where(F.col("term").isin(scoring)).select("doc_id").distinct(),
-                "doc_id",
-            )
+        not_terms = {t for t in nots if t in idf_map}
+        if not_terms:
+            g = g.join(self._docs_for_terms(not_terms), "doc_id", "left_anti")
         if node.boost != 1.0:
             g = g.withColumn("score", F.col("score") * F.lit(node.boost))
         return g
@@ -682,28 +859,37 @@ class SearchEngine:
     ) -> DataFrame:
         """Top-k search. Returns (rank, doc_id, conv_id, turn_idx, score)."""
         ast = self._resolve_node(parse(query, simple=self.simple))
+        # a bare leaf on a multi-field index resolves to a nested
+        # SHOULD-of-per-field-Terms Bool; flatten pure-SHOULD unit-boost
+        # nesting so flat disjunctions stay WAND-eligible (score = sum
+        # over matched per-field keys either way)
+        flat = _flatten_shoulds(ast)
         if use_wand is None:
-            # WAND covers flat default-field term disjunctions (the one
-            # spot the reference's Lucene uses BMW); field-routed keys
-            # carry per-field avgdl the WAND kernel does not model
+            # WAND covers flat term disjunctions — the one spot the
+            # reference's Lucene uses BMW; per-key avgdl (multi-field)
+            # is threaded into the kernel
             use_wand = (
-                mode == "turns"
-                and k is not None
-                and wand_mod.is_wand_eligible(ast)
-                and all(":" not in c.text for _, c in ast.clauses)
+                mode == "turns" and k is not None and wand_mod.is_wand_eligible(flat)
             )
         if use_wand:
-            keys = query_terms(ast)
-            if any(":" in t for t in keys):
+            if not wand_mod.is_wand_eligible(flat):
                 raise ValueError(
-                    "use_wand=True supports default-field term queries only"
+                    "use_wand=True supports flat pure-OR term queries only"
                 )
-            idf_map, _ = self._maps_for(keys)
-            boosts = {c.text: c.boost for _, c in ast.clauses if c.text in idf_map}
+            keys = query_terms(flat)
+            idf_map, avgdl_map = self._maps_for(keys)
+            boosts = {c.text: c.boost for _, c in flat.clauses if c.text in idf_map}
             rows = self._rows_for_terms(set(boosts), self.WAND_COLS) if boosts else None
             scores = (
                 wand_mod.wand_topk(
-                    self.spark, rows, idf_map, boosts, self.avgdl, k, self.n_rows
+                    self.spark,
+                    rows,
+                    idf_map,
+                    boosts,
+                    self.avgdl,
+                    k,
+                    self.n_rows,
+                    avgdl_map=avgdl_map,
                 )
                 if rows is not None
                 else self._empty_scores()

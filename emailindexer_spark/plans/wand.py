@@ -106,7 +106,14 @@ def _explode_blocks(shard_size: int):
     return gen
 
 
-def _wand_shard(idf_map: dict[str, float], boosts: dict[str, float], avgdl: float, k: int, shard_size: int):
+def _wand_shard(
+    idf_map: dict[str, float],
+    boosts: dict[str, float],
+    avgdl: float,
+    k: int,
+    shard_size: int,
+    avgdl_map: dict[str, float] | None = None,
+):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iat[0])
         lo, hi = shard * shard_size, (shard + 1) * shard_size  # [lo, hi)
@@ -114,12 +121,19 @@ def _wand_shard(idf_map: dict[str, float], boosts: dict[str, float], avgdl: floa
         first = np.maximum(pdf["first"].to_numpy(np.int64), lo)
         last = np.minimum(pdf["last"].to_numpy(np.int64), hi - 1)
         w = np.array([idf_map[t] * boosts.get(t, 1.0) for t in pdf["term"]])
+        # per-KEY avgdl: field-prefixed keys score under their own
+        # field's statistics (MultiFieldQueryParser parity)
+        adl = (
+            np.array([avgdl_map.get(t, avgdl) for t in pdf["term"]])
+            if avgdl_map
+            else np.full(nb, avgdl)
+        )
         ub = w * (
             pdf["maxtf"].to_numpy(np.float64)
             / (
                 pdf["maxtf"].to_numpy(np.float64)
                 + bm25.K1
-                * (1 - bm25.B + bm25.B * bm25.LENGTH_TABLE[pdf["minnorm"].to_numpy(np.int64)] / avgdl)
+                * (1 - bm25.B + bm25.B * bm25.LENGTH_TABLE[pdf["minnorm"].to_numpy(np.int64)] / adl)
             )
         )
         # segments at block boundaries (within the shard's clipped range)
@@ -153,7 +167,10 @@ def _wand_shard(idf_map: dict[str, float], boosts: dict[str, float], avgdl: floa
                         int(pdf["first"].iat[bi]), pdf["docb"].iat[bi], pdf["tfb"].iat[bi], pdf["normb"].iat[bi]
                     )
                     m = (d >= lo) & (d < hi)
-                    decoded[bi] = (d[m], bm25.score_tf(t[m], n[m], avgdl, float(w[bi])))
+                    decoded[bi] = (
+                        d[m],
+                        bm25.score_tf(t[m], n[m], float(adl[bi]), float(w[bi])),
+                    )
                 d, s = decoded[bi]
                 m = (d >= a) & (d < b)
                 if m.any():
@@ -192,6 +209,7 @@ def wand_topk(
     k: int,
     n_rows: int,
     n_shards: int | None = None,
+    avgdl_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """Exact top-k (doc_id, score) for a pure disjunction of terms."""
     if not idf_map:
@@ -202,5 +220,5 @@ def wand_topk(
     shard_size = max(1, math.ceil(n_rows / n_shards))
     blocks = rows.mapInPandas(_explode_blocks(shard_size), BLOCKS_SCHEMA)
     return blocks.groupBy("shard").applyInPandas(
-        _wand_shard(idf_map, boosts, avgdl, k, shard_size), SCORE_SCHEMA
+        _wand_shard(idf_map, boosts, avgdl, k, shard_size, avgdl_map), SCORE_SCHEMA
     )

@@ -265,18 +265,40 @@ class TestParser:
         bare = parse("apple").clauses[0][1]
         assert bare.field is None
 
+    def test_fuzzy_and_slop_parse(self):
+        from emailindexer_spark.plans.parser import Fuzzy
+
+        fz = parse("roam~").clauses[0][1]
+        assert isinstance(fz, Fuzzy) and fz.text == "roam" and fz.max_edits == 2
+        fz1 = parse("roam~1^2").clauses[0][1]
+        assert isinstance(fz1, Fuzzy) and fz1.max_edits == 1 and fz1.boost == 2.0
+        t0 = parse("roam~0").clauses[0][1]
+        assert isinstance(t0, Term) and t0.text == "roam"
+        sl = parse('"a b"~3').clauses[0][1]
+        assert isinstance(sl, Phrase) and sl.slop == 3
+        # phrase boosts attach through the lexer (round-2 ADVICE: they
+        # used to lex as a stray ^2 token and vanish silently)
+        pb = parse('"a b"^2').clauses[0][1]
+        assert isinstance(pb, Phrase) and pb.boost == 2.0 and pb.slop == 0
+        both = parse('"a b"~1^2').clauses[0][1]
+        assert both.slop == 1 and both.boost == 2.0
+        ff = parse('role:term~1').clauses[0][1]
+        assert isinstance(ff, Fuzzy) and ff.field == "role"
+
     def test_unsupported_syntax_raises_loudly(self):
-        # ranges, fuzzy/slop, and non-trailing wildcards are classic-parser
-        # syntax we do NOT implement — silent degrade to bare terms returns
+        # non-trailing wildcards, malformed ranges, out-of-range fuzzy
+        # edits, and dangling suffix tokens are classic-parser syntax we
+        # do NOT implement — silent degrade to bare terms returns
         # wrong-but-plausible results, so the parser must raise.
         import pytest as _pytest
 
         from emailindexer_spark.plans.parser import QueryParseError
 
         for bad in [
-            "roam~",
-            "roam~2",
-            '"a b"~3',
+            "roam~3",         # Lucene caps fuzzy edits at 2
+            "roam~0.8",       # pre-Lucene-4 float fuzziness
+            "a~b",            # embedded tilde
+            '"a b" ^2',       # detached boost (Lucene errors too)
             "te?m",
             "te*m",
             "*",

@@ -85,15 +85,19 @@ def test_multifield_field_stats_differ(mf_engine):
     assert mf_engine.field_stats["text"][1] > 5
 
 
-def test_unknown_field_raises(mf_engine):
-    with pytest.raises(QueryParseError):
-        mf_engine.search("subject:apple", k=5)
+def test_unknown_field_matches_nothing(mf_engine):
+    # Lucene parity (round-2 ADVICE): a query on an unindexed field
+    # parses fine and matches zero docs — it must not raise
+    assert mf_engine.search("subject:apple", k=5).count() == 0
+    # ...and must not poison the rest of a disjunction
+    assert mf_engine.search("subject:apple qojema", k=5).count() > 0
+    # but a MUST clause on an unindexed field kills the whole query
+    assert mf_engine.search("+subject:apple qojema", k=5).count() == 0
 
 
-def test_single_field_engine_rejects_field_queries(spark, index_dir):
+def test_single_field_engine_unknown_field_matches_nothing(spark, index_dir):
     eng = SearchEngine(spark, index_dir)
-    with pytest.raises(QueryParseError):
-        eng.search("role:assistant", k=5)
+    assert eng.search("role:assistant", k=5).count() == 0
     # but the explicit default field name routes fine
     assert eng.search("text:qojema", k=5).count() > 0
 
