@@ -237,13 +237,15 @@ def _q_bm25(query: str, k: int, mode: str = "turns", wand: bool | None = False):
     return fn
 
 
-def _q_bm25_mf(query: str, k: int, mode: str = "turns"):
+def _q_bm25_mf(query: str, k: int, mode: str = "turns", wand: bool | None = None):
     """Query against the TWO-FIELD index (text + role): per-field
-    df/N/norms/avgdl, bare terms search both fields and sum."""
+    df/N/norms/avgdl, bare terms search both fields and sum.  use_wand
+    defaults to auto — flat bare-term disjunctions route through
+    block-max WAND with per-key avgdl (exactness A/B-tested)."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine_for(spark, sf_dir, fields=("text", "role"))
-        out = eng.search(query, k=k, mode=mode, use_wand=False)
+        out = eng.search(query, k=k, mode=mode, use_wand=wand)
         return out.withColumn("score", F.round("score", 4))
 
     return fn
@@ -339,6 +341,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return eng.search('"table hash"', k=15).withColumn("score", F.round("score", 4))
 
     q["bm25_phrase"] = bm25_phrase
+
+    def bm25_slop(spark, sf_dir):
+        # sloppy phrase "table hash"~2: exact-order matches with a total
+        # gap budget of 2 (94 matching docs at sf0.01 vs 46 adjacent —
+        # the slop genuinely widens the match set)
+        eng = _engine_for(spark, sf_dir)
+        return eng.search('"table hash"~2', k=20).withColumn("score", F.round("score", 4))
+
+    q["bm25_slop"] = bm25_slop
+
+    def bm25_fuzzy(spark, sf_dir):
+        # FuzzyQuery spark~2 expands over the sorted term_dict to
+        # {part, spark} at sf0.01 (Levenshtein <= 2), constant-score
+        eng = _engine_for(spark, sf_dir)
+        return eng.search("spark~2", k=25).withColumn("score", F.round("score", 4))
+
+    q["bm25_fuzzy"] = bm25_fuzzy
 
     # ---------------- multi-field (per-field stats, §2.9 / MultiField) ------
     q["bm25_mf_field"] = _q_bm25_mf("role:assistant dup", 15)
@@ -554,6 +573,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return v.select("doc_id", sim.cast("long").alias("simhash16")).orderBy("doc_id")
 
     q["dedup_simhash16"] = dedup_simhash16
+
+    def dedup_simhash64_pairs(spark, sf_dir):
+        # 64-bit tf-weighted SimHash near-pairs (vectorized batch UDF,
+        # 16-bit pigeonhole chunk blocking — never an n² self-join)
+        dd = _docs_with_planted_dups(spark, sf_dir)
+        return (
+            D.simhash_near_pairs(dd, max_hamming=3)
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("id_a", "id_b")
+        )
+
+    q["dedup_simhash64_pairs"] = dedup_simhash64_pairs
 
     # ---------------- embedding similarity ---------------------------------
     def _query_vec(spark, sf_dir):
@@ -774,6 +805,50 @@ SELECT CAST(row_number() OVER (ORDER BY phs.score DESC, dd.doc_id) AS INT) AS ra
 FROM phs JOIN docs dd USING (doc_id)
 ORDER BY phs.score DESC, dd.doc_id LIMIT 15"""
 
+    # sloppy phrase: exact-order greedy semantics (parser.py Phrase.slop)
+    # — for m=2 a start position matches iff the second term occurs
+    # within (p0, p0 + 1 + slop]; freq = count of matching starts
+    o["bm25_slop"] = f"""{_BM25_PRELUDE},
+toked AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM docs),
+posx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS p
+  FROM toked WHERE len(toks) >= 2
+),
+ph AS (
+  SELECT doc_id, count(*) AS freq FROM posx
+  WHERE toks[p] = 'table'
+    AND (toks[p+1] = 'hash' OR toks[p+2] = 'hash' OR toks[p+3] = 'hash')
+  GROUP BY doc_id
+),
+phidf AS (
+  SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf
+  FROM dfreq d CROSS JOIN stats s WHERE d.term IN ('table', 'hash')
+),
+phs AS (
+  SELECT ph.doc_id,
+         phidf.idf * ph.freq / (ph.freq + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) AS score
+  FROM ph CROSS JOIN phidf CROSS JOIN stats s JOIN dl q ON q.doc_id = ph.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY phs.score DESC, dd.doc_id) AS INT) AS rank,
+       dd.doc_id, dd.conv_id, dd.turn_idx, round(phs.score, 4) AS score
+FROM phs JOIN docs dd USING (doc_id)
+ORDER BY phs.score DESC, dd.doc_id LIMIT 20"""
+
+    # FuzzyQuery spark~2: vocabulary expansion by classic Levenshtein
+    # (Spark and DuckDB agree), top-50 by df desc / term asc (Lucene
+    # maxExpansions), constant-score over docs matching any expansion
+    o["bm25_fuzzy"] = f"""{_BM25_PRELUDE},
+fterms AS (
+  SELECT term FROM dfreq
+  WHERE levenshtein(term, 'spark') <= 2
+  ORDER BY df DESC, term ASC LIMIT 50
+),
+fdocs AS (SELECT DISTINCT doc_id FROM tokens WHERE term IN (SELECT term FROM fterms))
+SELECT CAST(row_number() OVER (ORDER BY f.doc_id) AS INT) AS rank,
+       dd.doc_id, dd.conv_id, dd.turn_idx, CAST(1.0 AS DOUBLE) AS score
+FROM fdocs f JOIN docs dd USING (doc_id)
+ORDER BY f.doc_id LIMIT 25"""
+
     # ---------------- relational ----------------
     o["rel_date_page"] = """
 SELECT event_id, user_id, event_type, round(value, 4) AS value
@@ -937,6 +1012,37 @@ wc AS (
 ),
 v AS (SELECT doc_id, {v_items} FROM wc GROUP BY doc_id)
 SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash16 FROM v ORDER BY doc_id"""
+
+    # 64-bit SimHash near-pairs: same tf-weighted md5 signature as
+    # operators/dedup.py (first 16 md5 hex chars = the UDF's 8-byte
+    # big-endian hash); the oracle pairs exhaustively (n² is fine at
+    # sf0.01) while Spark uses pigeonhole chunk blocking — hamming <= 3
+    # guarantees identical pair sets
+    v64 = ", ".join(
+        f"sum(c * (CAST((h >> {j}) & 1 AS BIGINT) * 2 - 1)) AS v{j}" for j in range(64)
+    )
+    sig64 = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END"
+        for j in range(64)
+    )
+    o["dedup_simhash64_pairs"] = f"""
+WITH {_SQL_DUP_DOCS},
+words AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM dup_docs
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS c,
+         CAST(CONCAT('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+  FROM words GROUP BY doc_id, w
+),
+v AS (SELECT doc_id, {v64} FROM wc GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({sig64} AS UBIGINT) AS sig FROM v)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b"""
 
     # ---------------- embeddings ----------------
     _cos = (

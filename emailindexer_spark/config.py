@@ -17,6 +17,18 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """min(70% of system RAM, 28g), floor 2g — SPARK_DRIVER_MEMORY
+    overrides.  os.sysconf is POSIX-only; fall back to a conservative
+    8g where it is unavailable."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(2, min(28, int(total * 0.7 / (1 << 30))))
+        return f"{gb}g"
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+
+
 def get_spark(
     app_name: str = "emailindexer-spark",
     master: str | None = None,
@@ -45,8 +57,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver IS the executor — size the heap for
         # task-count × task-working-set, not for a thin coordinator
-        # (8g with 32 concurrent decode/encode tasks GC-thrashes)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "28g"))
+        # (8g with 32 concurrent decode/encode tasks GC-thrashes).
+        # Derived from the machine, capped at 28g: a fixed 28g on a
+        # smaller host fails JVM startup under strict overcommit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # dense text compresses ~5-10x in parquet: the default 128 MB split

@@ -37,14 +37,24 @@ def normalized(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: groups of ids sharing identical normalized text."""
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_ids: int = 20
+) -> DataFrame:
+    """Exact dedup: groups of ids sharing identical normalized text.
+
+    ``ids`` holds only the first ``max_ids`` (ascending) members — a
+    boilerplate document duplicated 10^8 times must not become one
+    giant array row; ``n_dups`` + ``keep_id`` carry the full-group
+    facts.  Pass ``max_ids=None`` to keep every id (small corpora)."""
+    ids = F.sort_array(F.collect_list(F.col(id_col)))
+    if max_ids is not None:
+        ids = F.slice(ids, 1, max_ids)
     return (
         df.withColumn("_norm", normalized(F.col(text_col)))
         .groupBy("_norm")
         .agg(
             F.count("*").alias("n_dups"),
-            F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
+            ids.alias("ids"),
             F.min(id_col).alias("keep_id"),
         )
         .where(F.col("n_dups") > 1)
@@ -202,27 +212,53 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- simhash
 
 def _simhash_batch(texts: pd.Series, bits: int = 64) -> pd.Series:
-    """Vectorized 64-bit tf-weighted SimHash (numpy; md5-based token
-    hashes for determinism across engines)."""
+    """Vectorized 64-bit tf-weighted SimHash — no per-ROW Python.
+
+    The whole Arrow batch's tokens are factorized once, each UNIQUE word
+    is md5-hashed once (the only Python-level loop — vocabulary-sized,
+    not token- or row-sized), and the per-doc signed bit sums come from
+    one ``np.add.reduceat`` over the contiguous per-doc token runs.
+    Docs are processed in token-bounded chunks so the (tokens × bits)
+    sign matrix stays within a fixed memory budget.  md5-based token
+    hashes keep the signature bit-identical to the DuckDB oracle."""
     import hashlib
 
+    toks = texts.fillna("").str.lower().str.split()
+    nlens = toks.str.len().to_numpy(dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.fillna("")):
-        words = t.lower().split()
-        if not words:
-            continue
-        uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
-        hs = np.array(
-            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in uniq],
-            dtype=np.uint64,
-        )
-        bitmat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        v = ((bitmat * 2 - 1) * counts[:, None]).sum(axis=0)
-        sig = np.uint64(0)
-        for j in range(bits):
-            if v[j] > 0:
-                sig |= np.uint64(1) << np.uint64(j)
-        out[i] = np.int64(sig.astype(np.int64))
+    total = int(nlens.sum())
+    if total == 0:
+        return pd.Series(out)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy() if len(t)])
+    codes, uniq = pd.factorize(flat)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    signed = (
+        ((hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int8)
+        * 2
+        - 1
+    )  # (n_uniq, bits) in {-1, +1}
+    weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+    doc_starts = np.concatenate(([0], np.cumsum(nlens)))[:-1]
+    nz = np.nonzero(nlens > 0)[0]
+    chunk_tokens = 1 << 21  # ≤ 2M tokens × 64 int8 = 128 MB per chunk
+    lo = 0
+    while lo < nz.size:
+        hi = lo
+        tok0 = doc_starts[nz[lo]]
+        while hi < nz.size and doc_starts[nz[hi]] + nlens[nz[hi]] - tok0 <= chunk_tokens:
+            hi += 1
+        hi = max(hi, lo + 1)  # a single huge doc still goes through
+        docs = nz[lo:hi]
+        tok1 = doc_starts[docs[-1]] + nlens[docs[-1]]
+        tok_bits = signed[codes[tok0:tok1]]  # (chunk_tokens, bits)
+        sums = np.add.reduceat(tok_bits.astype(np.int32), doc_starts[docs] - tok0, axis=0)
+        sigs = ((sums > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        out[docs] = sigs.view(np.int64)
+        lo = hi
     return pd.Series(out)
 
 

@@ -21,14 +21,12 @@ Replaces the reference's sequential paged scan → Lucene IndexWriter loop
                     periodic terms cannot dodge the sample) → explicit
                     skew splitting: df > threshold terms are cut into
                     doc-range splits → ONE tokenize pass feeding the
-                    single wide shuffle directly (no persist, no token-
-                    stream round-trip through storage), keyed on
-                    part·M + hash(term, split): runs stay contiguous
-                    for the encoder AND each task lands in one
-                    part = md5(term) % P output partition, so the
-                    partitionBy("part") write needs no second exchange
-                    → mapInPandas encodes each sorted run into
-                    delta+varbyte blocks with block-max metadata
+                    wide (term, split) shuffle directly (no persist, no
+                    token-stream round-trip through storage) →
+                    mapInPandas encodes each sorted run into
+                    delta+varbyte blocks with block-max metadata → one
+                    cheap exchange of the ENCODED rows lays files out
+                    by part = md5(term) % P (query-side pruning)
   stage term_dict   (term, part, df) table range-partitioned + sorted by
                     term — Lucene's sorted term dictionary: prefix
                     queries expand here (vocab-scale scan with row-group
@@ -532,31 +530,27 @@ class IndexBuilder:
             shuffle_cols = ["term", "split_id", "doc_id", "tf", "norm"] + (
                 ["pos"] if self.positions else []
             )
-            # ONE shuffle end-to-end: the per-token rows are hashed on
-            # part·M + hash(term, split_id) — every (term, split) run
-            # lands whole in one task (encode needs contiguity), heavy-
-            # term splits spread over that part's M buckets, and each
-            # task holds ~one part value, so the partitionBy("part")
-            # write needs NO second exchange of the encoded payload
-            # (previously the ~encoded-index-sized repartition by part).
-            m_buckets = max(1, par_target // self.num_parts)
-            part_col = term_part_expr(F.col("term"), self.num_parts)
-            bucket = (
-                part_col * m_buckets
-                + F.pmod(F.xxhash64("term", "split_id"), F.lit(m_buckets))
-                if m_buckets > 1
-                else part_col
-            )
+            # Two exchanges by design (A/B-measured): the wide per-token
+            # shuffle keys on Spark's native hash of (term, split_id) —
+            # full-width spread incl. heavy-term splits — and the SECOND
+            # exchange moves only the ENCODED payload (~compressed-index-
+            # sized, ~1% of the token stream) to lay files out one-part-
+            # per-task.  The alternative single shuffle keyed on the
+            # md5-derived part expression evaluates md5 per TOKEN row and
+            # measured net slower, besides confining each heavy term's
+            # splits to its part's few buckets.
             postings = (
                 # dl is not needed downstream — drop it before the wide
                 # shuffle so the per-token payload stays minimal
                 rows.select(*shuffle_cols)
-                .repartition(self.num_parts * m_buckets, bucket)
+                .repartition(par_target, "term", "split_id")
                 .sortWithinPartitions("term", "split_id", "doc_id")
                 .mapInPandas(_encode_runs(self.block_size, self.num_parts), POSTINGS_SCHEMA)
             )
             (
-                postings.write.mode("overwrite")
+                postings.repartition(self.num_parts, "part")
+                .sortWithinPartitions("term", "split_id")
+                .write.mode("overwrite")
                 .partitionBy("part")
                 .parquet(man.stage_path("postings"))
             )

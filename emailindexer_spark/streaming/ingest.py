@@ -92,8 +92,18 @@ def incremental_append(
     man = Manifest.load_or_create(index_dir)
     if "n_rows" not in man.stats:
         raise ValueError(f"{index_dir} has no completed base build")
+    # Replay detection is O(1) in manifest size: Structured Streaming
+    # batch ids are monotonically increasing per checkpoint, so a
+    # high-watermark covers them exactly; a bounded tail of recent ids
+    # additionally covers direct incremental_append() callers that pass
+    # non-monotonic ids.  (Previously the full id list was kept and
+    # rewritten every flush — O(n_batches) manifest growth on a
+    # long-running stream.)
+    watermark = int(man.stats.get("last_committed_batch_id", -(1 << 62)))
     committed: list[int] = list(man.stats.get("committed_batch_ids", []))
-    if batch_id is not None and int(batch_id) in committed:
+    if batch_id is not None and (
+        int(batch_id) <= watermark or int(batch_id) in committed
+    ):
         return man  # replayed batch — already fully committed
     base = int(man.stats["n_rows"])
     num_parts = int(man.params.get("num_parts", 32))
@@ -177,7 +187,8 @@ def incremental_append(
     shutil.rmtree(os.path.join(index_dir, "_staging", tag), ignore_errors=True)
 
     if batch_id is not None:
-        committed.append(int(batch_id))
+        committed = (committed + [int(batch_id)])[-64:]  # bounded tail
+        watermark = max(watermark, int(batch_id))
     f0 = fields[0]
     fstats = dict(man.stats.get("field_stats", {}))
     for fld in fields:
@@ -200,6 +211,7 @@ def incremental_append(
         total_tokens=int(man.stats["total_tokens"]) + int(agg[f"total_{f0}"] or 0),
         ingest_batches=batch_seq,
         committed_batch_ids=committed,
+        last_committed_batch_id=watermark,
         field_stats=fstats,
     )
     man.commit_stage(f"ingest_{batch_seq:06d}", rows=n_batch)

@@ -27,6 +27,9 @@ def test_exact_duplicate_groups(docs):
     g = D.exact_duplicate_groups(docs).collect()
     assert len(g) == 1
     assert g[0]["ids"] == [0, 1, 4] and g[0]["keep_id"] == 0
+    # pathological-group bound: ids stays O(max_ids), never O(group)
+    g2 = D.exact_duplicate_groups(docs, max_ids=2).collect()
+    assert g2[0]["ids"] == [0, 1] and g2[0]["n_dups"] == 3 and g2[0]["keep_id"] == 0
 
 
 def test_minhash_lsh_finds_near_dups(docs):
