@@ -359,6 +359,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_fuzzy"] = bm25_fuzzy
 
+    def bm25_wildcard(spark, sf_dir):
+        # WildcardQuery s?a* expands over the term_dict to
+        # {scan, small, spark} at sf0.01, constant-score
+        eng = _engine_for(spark, sf_dir)
+        return eng.search("s?a*", k=30).withColumn("score", F.round("score", 4))
+
+    q["bm25_wildcard"] = bm25_wildcard
+
     # ---------------- multi-field (per-field stats, §2.9 / MultiField) ------
     q["bm25_mf_field"] = _q_bm25_mf("role:assistant dup", 15)
     q["bm25_mf_bare"] = _q_bm25_mf("assistant dup", 15)
@@ -848,6 +856,15 @@ SELECT CAST(row_number() OVER (ORDER BY f.doc_id) AS INT) AS rank,
        dd.doc_id, dd.conv_id, dd.turn_idx, CAST(1.0 AS DOUBLE) AS score
 FROM fdocs f JOIN docs dd USING (doc_id)
 ORDER BY f.doc_id LIMIT 25"""
+
+    # WildcardQuery s?a*: ? = one char, * = any run — the same regex in
+    # Spark rlike (Java) and DuckDB regexp_matches (RE2); constant-score
+    o["bm25_wildcard"] = f"""{_BM25_PRELUDE},
+wdocs AS (SELECT DISTINCT doc_id FROM tokens WHERE regexp_matches(term, '^s.a.*$'))
+SELECT CAST(row_number() OVER (ORDER BY w.doc_id) AS INT) AS rank,
+       dd.doc_id, dd.conv_id, dd.turn_idx, CAST(1.0 AS DOUBLE) AS score
+FROM wdocs w JOIN docs dd USING (doc_id)
+ORDER BY w.doc_id LIMIT 30"""
 
     # ---------------- relational ----------------
     o["rel_date_page"] = """

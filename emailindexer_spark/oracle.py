@@ -10,10 +10,14 @@ the Lucene 9.1 semantics the reference relies on (SURVEY.md §2.9):
 * BooleanQuery: SHOULD scores sum, MUST required+scoring, MUST_NOT
   excluding, pure-negative → empty (reference query surface §2.9),
 * phrase = exact adjacent positions; phrase tf = occurrence count;
-  phrase idf = sum of constituent idfs (Lucene PhraseWeight),
-* prefix = constant-score 1.0*boost for docs matching any expansion
-  (multi-term CONSTANT_SCORE rewrite; reference's own test queries
-  ``t*`` — EmailDatasetIntegrationTests.java:52,74),
+  phrase idf = sum of constituent idfs (Lucene PhraseWeight); sloppy
+  phrase ``"a b"~k`` = the engine's documented exact-order greedy-chain
+  semantics (plans/parser.py Phrase.slop),
+* prefix / wildcard / fuzzy / range = constant-score 1.0*boost for docs
+  matching any expansion (multi-term CONSTANT_SCORE rewrite; reference's
+  own test queries ``t*`` — EmailDatasetIntegrationTests.java:52,74;
+  fuzzy expansion = classic Levenshtein over the vocabulary, top
+  MAX_FUZZY_EXPANSIONS by df),
 * top-k sort: score desc, docID asc (Lucene tie-break),
 * conversation collapse = first-occurrence dedup of hits by conv_id in
   score order (reference root-id dedup, EmailIndexSearcher.java:58-71).
@@ -31,15 +35,18 @@ from emailindexer_spark.functions.bm25 import B, K1, idf as _idf
 from emailindexer_spark.functions.smallfloat import byte4_to_int, int_to_byte4
 from emailindexer_spark.functions.tokenizer import tokenize
 from emailindexer_spark.plans.parser import (
+    MAX_FUZZY_EXPANSIONS,
     MUST,
     MUST_NOT,
     SHOULD,
     Bool,
+    Fuzzy,
     Node,
     Phrase,
     Prefix,
     Term,
     TermRange,
+    Wildcard,
     parse,
 )
 
@@ -129,12 +136,37 @@ def _fields_for(ix: OracleIndex, field: str | None) -> list[str]:
         # bare leaves search ALL indexed fields (MultiFieldQueryParser)
         return list(ix.fields)
     if field not in ix.fields:
-        from emailindexer_spark.plans.parser import QueryParseError
-
-        raise QueryParseError(
-            f"unknown field {field!r}; indexed fields: {', '.join(ix.fields)}"
-        )
+        # Lucene parity: an unindexed field's query matches zero docs
+        return []
     return [field]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic Levenshtein (no transposition credit) — the same function
+    Spark `levenshtein()` and DuckDB `levenshtein()` compute."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _field_vocab(ix: OracleIndex, f: str) -> list[tuple[str, str]]:
+    """(key, bare term) pairs of one field's posting keys."""
+    pref = "" if f == ix.fields[0] else f + ":"
+    out = []
+    for t in ix.postings:
+        if f == ix.fields[0]:
+            if ":" in t:
+                continue
+            out.append((t, t))
+        elif t.startswith(pref):
+            out.append((t, t[len(pref):]))
+    return out
 
 
 def _score_leaf(ix: OracleIndex, node: Node) -> dict[int, float]:
@@ -181,7 +213,45 @@ def _score_leaf(ix: OracleIndex, node: Node) -> dict[int, float]:
             for d in docs:
                 out[d] = out.get(d, 0.0) + 1.0 * node.boost
         return out
+    if isinstance(node, Fuzzy):
+        # FuzzyQuery: vocab expansion by classic Levenshtein, capped at
+        # MAX_FUZZY_EXPANSIONS by df desc / term asc, constant score
+        for f in _fields_for(ix, node.field):
+            hits = [
+                (k, bare)
+                for k, bare in _field_vocab(ix, f)
+                if abs(len(bare) - len(node.text)) <= node.max_edits
+                and _levenshtein(bare, node.text) <= node.max_edits
+            ]
+            hits.sort(key=lambda kb: (-len(ix.postings[kb[0]]), kb[0]))
+            docs: set[int] = set()
+            for k, _bare in hits[:MAX_FUZZY_EXPANSIONS]:
+                docs.update(ix.postings[k])
+            for d in docs:
+                out[d] = out.get(d, 0.0) + 1.0 * node.boost
+        return out
+    if isinstance(node, Wildcard):
+        import re as _re
+
+        rx = _re.compile(
+            "^"
+            + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in node.pattern
+            )
+            + "$"
+        )
+        for f in _fields_for(ix, node.field):
+            docs = set()
+            for k, bare in _field_vocab(ix, f):
+                if rx.match(bare):
+                    docs.update(ix.postings[k])
+            for d in docs:
+                out[d] = out.get(d, 0.0) + 1.0 * node.boost
+        return out
     if isinstance(node, Phrase):
+        from bisect import bisect_right
+
         for f in _fields_for(ix, node.field):
             keys = [ix.key(f, t) for t in node.terms]
             termsets = [ix.positions.get(k, {}) for k in keys]
@@ -192,13 +262,31 @@ def _score_leaf(ix: OracleIndex, node: Node) -> dict[int, float]:
                 cand &= set(ts)
             n_f = ix.field_stats[f][0]
             iv = sum(float(_idf(len(ix.postings[k]), n_f)) for k in keys)
+            m = len(node.terms)
             for d in cand:
-                possets = [set(ts[d]) for ts in termsets]
-                freq = sum(
-                    1
-                    for p in termsets[0][d]
-                    if all((p + i) in possets[i] for i in range(1, len(possets)))
-                )
+                if node.slop == 0:
+                    possets = [set(ts[d]) for ts in termsets]
+                    freq = sum(
+                        1
+                        for p in termsets[0][d]
+                        if all((p + i) in possets[i] for i in range(1, m))
+                    )
+                else:
+                    # exact-order greedy chain (parser.py Phrase.slop):
+                    # from each start p0, take the SMALLEST next-slot
+                    # position > current, pruning at p0 + i + slop
+                    poslists = [sorted(ts[d]) for ts in termsets]
+                    freq = 0
+                    for p0 in poslists[0]:
+                        cur = p0
+                        ok = True
+                        for i in range(1, m):
+                            j = bisect_right(poslists[i], cur)
+                            if j == len(poslists[i]) or poslists[i][j] > p0 + i + node.slop:
+                                ok = False
+                                break
+                            cur = poslists[i][j]
+                        freq += ok
                 if freq:
                     out[d] = out.get(d, 0.0) + node.boost * _bm25(ix, f, freq, d, iv)
         return out

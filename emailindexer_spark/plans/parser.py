@@ -2,10 +2,13 @@
 
 The reference parses queries with ``MultiFieldQueryParser`` over
 StandardAnalyzer (reference ``EmailIndexSearcher.java:49-53,99-103``;
-SURVEY.md §2.9).  We support the grammar subset the reference exposes and
-its own tests exercise: bare terms (default operator OR), ``AND``/``OR``/
-``NOT``, ``+``/``-`` prefixes, parentheses, quoted phrases, trailing-``*``
-prefix wildcards (reference test queries ``"t*"``, ``"t* r* s* e*"``),
+SURVEY.md §2.9).  We support the full grammar the reference exposes:
+bare terms (default operator OR), ``AND``/``OR``/``NOT``, ``+``/``-``
+prefixes, parentheses, quoted phrases with slop ``"a b"~k``,
+trailing-``*`` prefix wildcards (reference test queries ``"t*"``,
+``"t* r* s* e*"``), general wildcards ``te?m``/``te*m`` (leading
+wildcards rejected, the classic-parser default), fuzzy ``term~``/
+``term~1``/``term~2``, term ranges ``[a TO b]``/``{a TO b}``, and
 ``^boost``.  Query-side text is analyzed with the same tokenizer as the
 index (case-insensitive matching falls out of lowercasing).
 
@@ -82,6 +85,20 @@ MAX_FUZZY_EXPANSIONS = 50
 @dataclass
 class Prefix(Node):
     prefix: str = ""
+    field: str | None = None
+
+
+@dataclass
+class Wildcard(Node):
+    """Lucene WildcardQuery (``te?m``, ``te*m``, ``t?e*``): ``?`` = one
+    character, ``*`` = any run.  Expands against the sorted term
+    dictionary (a literal-prefix band narrows the scan when the pattern
+    has one), CONSTANT-SCORE rewrite like Prefix.  Leading wildcards
+    stay rejected — Lucene's classic parser default
+    (``allowLeadingWildcard=false``), which the reference never
+    overrides."""
+
+    pattern: str = ""  # lowercased, chars: [a-z0-9'.?*]
     field: str | None = None
 
 
@@ -165,6 +182,7 @@ import re as _re
 
 _FIELD_RE = _re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", _re.DOTALL)
 _SUFFIX_RE = _re.compile(r"(?:~\d*|\^\d+(?:\.\d+)?)+")
+_WILDCARD_OK = _re.compile(r"[a-z0-9'.?*]+")
 _BOOST_TAIL = _re.compile(r"\^(\d+(?:\.\d+)?)$")
 _TILDE_TAIL = _re.compile(r"~(\d*)$")
 
@@ -243,13 +261,29 @@ def _leaf(tok: str, simple: bool) -> Node | None:
         if len(terms) == 1:
             return Term(boost=boost, text=terms[0], field=field)
         return Phrase(boost=boost, terms=terms, field=field, slop=slop)
-    if tok.endswith("*") and len(tok) > 1:
+    if "?" in tok or "*" in tok:
         if tilde is not None:
             raise QueryParseError(f"'~' is not valid on a wildcard in {tok!r}")
-        pre = tokenize(tok[:-1], simple=simple)
-        if len(pre) != 1:
-            return None
-        return Prefix(boost=boost, prefix=pre[0], field=field)
+        if tok[0] in "?*":
+            raise QueryParseError(
+                f"leading wildcards are not allowed in {tok!r} "
+                "(Lucene classic-parser default)"
+            )
+        if tok.endswith("*") and tok.count("*") == 1 and "?" not in tok:
+            # trailing-star only → PrefixQuery (term_dict range scan)
+            pre = tokenize(tok[:-1], simple=simple)
+            if len(pre) != 1:
+                return None
+            return Prefix(boost=boost, prefix=pre[0], field=field)
+        # general WildcardQuery: normalize (lowercase) but do NOT analyze
+        # — Lucene normalizes wildcard terms without tokenizing them
+        pat = tok.lower()
+        if not _WILDCARD_OK.fullmatch(pat):
+            raise QueryParseError(
+                f"wildcard pattern {tok!r} has characters outside the "
+                "token alphabet [a-z0-9'.]"
+            )
+        return Wildcard(boost=boost, pattern=pat, field=field)
     toks = tokenize(tok, simple=simple)
     if not toks:
         return None
@@ -303,11 +337,13 @@ def _reject_unsupported(tok: str) -> None:
         return
     if any(c in body for c in "[]{}"):
         raise QueryParseError(f"stray range bracket in {tok!r}")
-    if "?" in body:
-        raise QueryParseError(f"'?' wildcards are not supported in {tok!r}")
-    if "*" in body[:-1] or body == "*":
+    # bare-star and leading wildcards: Lucene classic-parser default
+    # (allowLeadingWildcard=false) — _leaf validates everything else
+    term = m.group(2) if m else body
+    if term and term[0] in "?*":
         raise QueryParseError(
-            f"only trailing-'*' prefix wildcards are supported, got {tok!r}"
+            f"leading wildcards are not allowed in {tok!r} "
+            "(Lucene classic-parser default)"
         )
 
 

@@ -56,6 +56,7 @@ from emailindexer_spark.plans.parser import (
     Prefix,
     Term,
     TermRange,
+    Wildcard,
     parse,
     query_terms,
 )
@@ -521,6 +522,8 @@ class SearchEngine:
                 return Fuzzy(
                     boost=node.boost, text=node.text, max_edits=node.max_edits, field=f
                 )
+            if isinstance(node, Wildcard):
+                return Wildcard(boost=node.boost, pattern=node.pattern, field=f)
             raise TypeError(type(node))
 
         if not flds:
@@ -641,6 +644,24 @@ class SearchEngine:
                 return None
             docs = self._docs_for_terms(set(keys)).distinct()
             return docs.withColumn("score", F.lit(1.0 * node.boost))
+        if isinstance(node, Wildcard):
+            # WildcardQuery: regex over the sorted term dictionary
+            # (Lucene walks its terms dict with an automaton in the same
+            # place); a literal prefix, when present, restores row-group
+            # min/max pruning on the term-sorted dictionary
+            import re as _re
+
+            f = node.field or self.fields[0]
+            rx = "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in node.pattern
+            )
+            pref = "" if f == self.fields[0] else f + ":"
+            pred = F.col("term").rlike("^" + _re.escape(pref) + rx + "$")
+            lit = _re.split(r"[?*]", node.pattern)[0]
+            if lit:
+                pred = F.col("term").startswith(pref + lit) & pred
+            return self._constant_score_docs(pred, f, node.boost)
         if isinstance(node, TermRange):
             # Lucene TermRangeQuery: constant-score rewrite over the
             # dictionary range, same machinery as Prefix

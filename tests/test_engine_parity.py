@@ -107,6 +107,38 @@ def test_term_range_constant_score(engine, oracle_ix):
     assert engine.search("[qa TO qp]", k=5).count() > 0
 
 
+def test_fuzzy_wildcard_slop_parity(engine, oracle_ix):
+    # round-3 grammar: fuzzy ~, wildcards ?/*, phrase slop ~k — engine
+    # (term_dict expansion / positions greedy-chain) vs pure-Python
+    # oracle (vocab scan / bisect greedy-chain)
+    nonempty = 0
+    for q in [
+        "qojema~1",
+        "qojema~",            # default 2 edits
+        "fuhepi~2 qojema",    # fuzzy in a disjunction
+        "q?jema",
+        "qo*ma",
+        "n?za guka",
+        '"noza guka"~2',
+        '"qojema qojema"~1',
+        '"noza guka"~0',      # slop 0 == exact phrase
+    ]:
+        exp = osearch(oracle_ix, q, k=20)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.search(q, k=20, use_wand=False).collect()
+        ]
+        _assert_match(got, exp, q)
+        nonempty += bool(got)
+    assert nonempty >= 7  # the fixture corpus must exercise these
+
+
+def test_slop_widens_matches(engine, oracle_ix):
+    exact = osearch(oracle_ix, '"noza guka"', k=2000)
+    sloppy = osearch(oracle_ix, '"noza guka"~3', k=2000)
+    assert len(sloppy) > len(exact), "fixture must contain gapped pairs"
+
+
 def test_phrase_positionless_fallback_matches(spark, corpus_sdf, oracle_ix, engine):
     # an index built WITHOUT position payloads must answer phrases via
     # the candidate+re-tokenize fallback, byte-for-byte the same results
@@ -124,7 +156,7 @@ def test_phrase_positionless_fallback_matches(spark, corpus_sdf, oracle_ix, engi
         ).build(corpus_sdf)
         nopos = SearchEngine(spark, d)
         assert not nopos.positions
-        for q in ['"qojema qojema"', '"noza guka"']:
+        for q in ['"qojema qojema"', '"noza guka"', '"noza guka"~2']:
             exp = [
                 (r["doc_id"], r["score"])
                 for r in engine.search(q, k=10, use_wand=False).collect()

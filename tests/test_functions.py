@@ -285,6 +285,19 @@ class TestParser:
         ff = parse('role:term~1').clauses[0][1]
         assert isinstance(ff, Fuzzy) and ff.field == "role"
 
+    def test_wildcard_parses(self):
+        from emailindexer_spark.plans.parser import Prefix as _P
+        from emailindexer_spark.plans.parser import Wildcard
+
+        w = parse("te?m").clauses[0][1]
+        assert isinstance(w, Wildcard) and w.pattern == "te?m"
+        w2 = parse("TE*M^2").clauses[0][1]
+        assert isinstance(w2, Wildcard) and w2.pattern == "te*m" and w2.boost == 2.0
+        w3 = parse("role:t?e*").clauses[0][1]
+        assert isinstance(w3, Wildcard) and w3.field == "role"
+        # trailing-star-only stays the cheaper PrefixQuery
+        assert isinstance(parse("te*").clauses[0][1], _P)
+
     def test_unsupported_syntax_raises_loudly(self):
         # non-trailing wildcards, malformed ranges, out-of-range fuzzy
         # edits, and dangling suffix tokens are classic-parser syntax we
@@ -299,10 +312,10 @@ class TestParser:
             "roam~0.8",       # pre-Lucene-4 float fuzziness
             "a~b",            # embedded tilde
             '"a b" ^2',       # detached boost (Lucene errors too)
-            "te?m",
-            "te*m",
-            "*",
-            "*term",
+            "*",              # bare star
+            "*term",          # leading wildcard (Lucene default rejects)
+            "?erm",
+            "te–?m",          # pattern chars outside the token alphabet
             "stray]bracket",
             "[a TO",          # unterminated range
             "[a b c]",        # no TO

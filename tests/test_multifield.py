@@ -4,7 +4,7 @@ The reference indexes subject+body with INDEPENDENT per-field df/N/
 norms and sums the per-field disjunction (MultiFieldQueryParser,
 EmailIndexSearcher.java:49-53; EmailIndexGenerator.java:90-91).  Here
 the two-field fixture is (text, role): bare terms search both fields,
-``role:assistant`` routes, unknown fields raise.
+``role:assistant`` routes, unknown fields match nothing (Lucene parity).
 """
 
 import shutil
@@ -74,6 +74,24 @@ def test_multifield_parity(mf_engine, mf_oracle):
         ]
         _assert_match(got, exp, q)
         assert got or q in ("role:user -qojema",), f"{q}: fixture should match"
+
+
+def test_multifield_wand_ab(mf_engine, mf_oracle):
+    # flat bare-term disjunctions on a multi-field index route through
+    # block-max WAND with per-KEY avgdl — results must equal both the
+    # exhaustive path and the oracle exactly (round-3 VERDICT item 6)
+    for q in ["qojema", "qojema fuhepi", "assistant qojema", "noza guka fuhepi"]:
+        exp = osearch(mf_oracle, q, k=15)
+        wand = [
+            (r["doc_id"], r["score"])
+            for r in mf_engine.search(q, k=15, use_wand=True).collect()
+        ]
+        _assert_match(wand, exp, f"wand:{q}")
+        auto = [
+            (r["doc_id"], r["score"])
+            for r in mf_engine.search(q, k=15).collect()
+        ]
+        _assert_match(auto, exp, f"auto:{q}")
 
 
 def test_multifield_field_stats_differ(mf_engine):
