@@ -118,6 +118,156 @@ def _decode_docs_only():
     return gen
 
 
+BATCH_ROW_SCHEMA = (
+    "query_id string, doc_id long, score double, conv_id string, turn_idx int, "
+    "conv boolean, k int"
+)
+
+
+def _shared_batch_kernel(
+    clause_rows: list[tuple[str, str, float, bool, bool]],
+    cfg_rows: list[tuple[str, int, bool, int, float]],
+):
+    """Vectorized multi-query scoring over ONE doc_id-clustered pass of
+    the shared (term, doc_id, score, conv_id, turn_idx) stream.
+
+    The per-query fan-out lives in term-indexed matrices (boost /
+    scoring-membership / must / not, each vocab×Q), applied to the
+    whole partition at once: per-doc per-query aggregates are
+    ``np.add.reduceat`` over the doc-sorted rows.  Each query's boolean
+    filters (all musts, no nots, ≥1 scoring hit) and a per-partition
+    prune (top-k for turns mode, best-per-conv for conversations mode —
+    both supersets of the global winners) run here too, so the only
+    remaining exchange carries k·P-ish rows per query."""
+    qids = [r[0] for r in cfg_rows]
+    nq = len(qids)
+    ks = [int(r[1]) for r in cfg_rows]
+    conv_mode = [bool(r[2]) for r in cfg_rows]
+    n_musts = [int(r[3]) for r in cfg_rows]
+    qboosts = [float(r[4]) for r in cfg_rows]
+    qidx = {q: i for i, q in enumerate(qids)}
+    per_term: dict[str, list[tuple[int, float, bool, bool]]] = {}
+    for qid, term, boost, is_must, is_not in clause_rows:
+        per_term.setdefault(term, []).append((qidx[qid], boost, is_must, is_not))
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = list(it)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+        if not len(pdf):
+            return
+        # doc groups must be contiguous: a doc's term rows can span
+        # Arrow batches within the partition
+        pdf = pdf.sort_values("doc_id", kind="stable")
+        codes, uniq = pd.factorize(pdf["term"].to_numpy())
+        B = np.zeros((len(uniq), nq))
+        S = np.zeros((len(uniq), nq), dtype=np.int32)  # scoring membership
+        M = np.zeros((len(uniq), nq), dtype=np.int32)  # must membership
+        N = np.zeros((len(uniq), nq), dtype=np.int32)  # not membership
+        for i, t in enumerate(uniq):
+            for qi, b, is_must, is_not in per_term.get(t, ()):
+                if is_not:
+                    N[i, qi] = 1
+                else:
+                    B[i, qi] += b
+                    S[i, qi] = 1
+                    if is_must:
+                        M[i, qi] = 1
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        starts = np.concatenate(([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1))
+        tok_scores = pdf["score"].to_numpy(np.float64)
+        score_d = np.add.reduceat(tok_scores[:, None] * B[codes], starts, axis=0)
+        hits_d = np.add.reduceat(S[codes], starts, axis=0)
+        must_d = np.add.reduceat(M[codes], starts, axis=0)
+        not_d = np.add.reduceat(N[codes], starts, axis=0)
+        gdoc = docs[starts]
+        gconv = pdf["conv_id"].to_numpy()[starts]
+        gturn = pdf["turn_idx"].to_numpy(np.int32)[starts]
+        outs = []
+        for qi, qid in enumerate(qids):
+            ok = (
+                (not_d[:, qi] == 0)
+                & (hits_d[:, qi] > 0)
+                & (must_d[:, qi] == n_musts[qi])
+            )
+            if not ok.any():
+                continue
+            sc = score_d[ok, qi] * qboosts[qi]
+            d, cv, ti = gdoc[ok], gconv[ok], gturn[ok]
+            order = np.lexsort((d, -sc))  # score desc, doc asc
+            if conv_mode[qi]:
+                cv_sorted = pd.Series(cv[order])
+                keep = order[~cv_sorted.duplicated().to_numpy()]
+            else:
+                keep = order[: ks[qi]]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "doc_id": d[keep],
+                        "score": sc[keep],
+                        "conv_id": cv[keep],
+                        "turn_idx": ti[keep],
+                        "conv": conv_mode[qi],
+                        "k": np.int32(ks[qi]),
+                    }
+                )
+            )
+        if outs:
+            yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+    return gen
+
+
+def _finalize_batch():
+    """One pandas pass per query_id-clustered partition: conversation
+    collapse (best row per conv), exact top-k with the Lucene tie-break
+    (score desc, doc_id asc), and rank assignment.  Partition batches
+    are concatenated first — a query's rows may span Arrow batches."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = list(it)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+        outs = []
+        for _qid, g in pdf.groupby("query_id", sort=False):
+            k = int(g["k"].iat[0])
+            g = g.sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
+            if bool(g["conv"].iat[0]):
+                g = g.loc[~g["conv_id"].duplicated()]
+            g = g.head(k).copy()
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+            outs.append(g[["query_id", "rank", "doc_id", "conv_id", "turn_idx", "score"]])
+        if outs:
+            yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+    return gen
+
+
+def _decode_docs_only_keyed():
+    """Like :func:`_decode_docs_only`, keeping the term key per doc —
+    the shared-scan batch path joins these rows against the clause
+    table like any scored row (score 0)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            terms, docs = [], []
+            for r in pdf.itertuples(index=False):
+                for i in range(len(r.b_docs)):
+                    deltas = varbyte_decode(r.b_docs[i]).astype(np.int64)
+                    d = np.cumsum(deltas) + int(r.b_first[i])
+                    docs.append(d)
+                    terms.append(np.full(d.size, r.term, dtype=object))
+            if docs:
+                yield pd.DataFrame(
+                    {"term": np.concatenate(terms), "doc_id": np.concatenate(docs)}
+                )
+
+    return gen
+
+
 def _phrase_score_fn(
     terms: tuple[str, ...], idf_sum: float, avgdl: float, simple: bool, slop: int = 0
 ):
@@ -919,34 +1069,130 @@ class SearchEngine:
             scores = self._score_resolved(ast)
         return self._finish(scores, k, mode, with_text)
 
+    BATCH_SCHEMA = (
+        "query_id string, rank int, doc_id long, conv_id string, turn_idx int, score double"
+    )
+
     def search_many(
         self, queries: dict[str, tuple[str, int, str]], use_wand: bool | None = None
     ) -> DataFrame:
         """Run a batch of queries in ONE Spark job.
 
         queries: query_id -> (query_string, k, mode).  Returns a single
-        DataFrame (query_id, rank, doc_id, conv_id, turn_idx, score) —
-        per-query plans are unioned so driver/job overhead is amortized
-        across the batch (the batch-throughput story; single-query
-        latency on Spark pays ~0.5 s of scheduling that Lucene does not).
+        DataFrame (query_id, rank, doc_id, conv_id, turn_idx, score).
+
+        Flat boolean-of-terms queries (after multi-field flattening) run
+        through a SHARED-SCAN plan: the union of every flat query's
+        terms is read and decoded ONCE, a broadcast clause table fans
+        the scored stream out per query, and one aggregation + one
+        ranking window finish all of them — postings IO and decode are
+        amortized across the batch instead of re-scanned per query (the
+        batch-serving shape at 100 TB).  Non-flat queries (phrase,
+        prefix, fuzzy, nested booleans) fall back to per-query plans
+        unioned into the same result.  ``use_wand=True`` forces the
+        per-query WAND path instead (identical results — both exact).
         """
         # ONE df-stat lookup for the whole batch: pre-warm the term cache
-        # with the union of every query's terms, so the per-query plans
-        # below fire zero additional driver round-trips for stats
+        # with the union of every query's terms, so every plan below
+        # fires zero additional driver round-trips for stats
+        resolved: dict[str, tuple[Node, int | None, str]] = {}
         all_terms: set[str] = set()
-        for q, _k, _mode in queries.values():
-            all_terms |= query_terms(self._resolve_node(parse(q, simple=self.simple)))
-        self.term_dfs(all_terms)
-        parts = []
         for qid, (q, k, mode) in queries.items():
-            df = self.search(q, k=k, mode=mode, use_wand=use_wand)
-            parts.append(df.withColumn("query_id", F.lit(qid)))
+            ast = self._resolve_node(parse(q, simple=self.simple))
+            resolved[qid] = (ast, k, mode)
+            all_terms |= query_terms(ast)
+        self.term_dfs(all_terms)
+        shared: dict[str, tuple[Bool, int | None, str]] = {}
+        parts = []
+        for qid, (ast, k, mode) in resolved.items():
+            flat = _flatten_shoulds(ast)
+            if use_wand is not True and isinstance(flat, Bool) and self._is_flat_terms(flat):
+                shared[qid] = (flat, k, mode)
+            else:
+                df = self.search(
+                    queries[qid][0], k=k, mode=mode, use_wand=use_wand
+                )
+                parts.append(df.withColumn("query_id", F.lit(qid)))
+        if shared:
+            parts.append(self._search_many_shared(shared))
         if not parts:
-            return self.spark.createDataFrame(
-                [], "query_id string, rank int, doc_id long, conv_id string, turn_idx int, score double"
-            )
+            return self.spark.createDataFrame([], self.BATCH_SCHEMA)
         out = reduce(lambda a, b: a.unionByName(b), parts)
         return out.select("query_id", *RESULT_COLS)
+
+    def _search_many_shared(
+        self, flat: dict[str, tuple[Bool, int | None, str]]
+    ) -> DataFrame:
+        """One postings scan + one decode for a batch of flat queries.
+
+        Clause table rows: (query_id, term, boost, is_must, is_not);
+        terms used ONLY under MUST_NOT across the whole batch take the
+        docs-only decode (no tf/norm IO) and ride in as score-0 rows."""
+        clause_rows: list[tuple[str, str, float, bool, bool]] = []
+        cfg_rows: list[tuple[str, int, bool, int, float]] = []
+        scoring_any: set[str] = set()
+        referenced: set[str] = set()
+        for qid, (node, k, mode) in flat.items():
+            boosts: dict[str, float] = {}
+            musts: set[str] = set()
+            nots: set[str] = set()
+            for occur, c in node.clauses:
+                referenced.add(c.text)
+                if occur == MUST_NOT:
+                    nots.add(c.text)
+                else:
+                    boosts[c.text] = boosts.get(c.text, 0.0) + c.boost
+                    if occur == MUST:
+                        musts.add(c.text)
+            scoring_any |= set(boosts)
+            for t, b in boosts.items():
+                clause_rows.append((qid, t, float(b), t in musts, False))
+            for t in nots:
+                clause_rows.append((qid, t, 0.0, False, True))
+            cfg_rows.append(
+                (
+                    qid,
+                    int(k) if k is not None else (1 << 31) - 1,
+                    mode == "conversations",
+                    len(musts),
+                    float(node.boost),
+                )
+            )
+        idf_map, avgdl_map = self._maps_for(referenced)
+        score_terms = {t for t in scoring_any if t in idf_map}
+        not_only = {t for t in referenced - scoring_any if t in idf_map}
+        if not score_terms:
+            return self.spark.createDataFrame([], self.BATCH_SCHEMA)
+        scored = self._scored_terms_df(score_terms, idf_map, avgdl_map)
+        if not_only:
+            scored = scored.unionByName(
+                self._rows_for_terms(not_only, ("term",) + self.DOCS_COLS)
+                .mapInPandas(_decode_docs_only_keyed(), "term string, doc_id long")
+                .withColumn("score", F.lit(0.0))
+            )
+        # ONE doc_id exchange of the (term, doc, score) stream — the
+        # per-query fan-out (which would multiply the stream by the
+        # number of queries referencing each term — measured 557k -> 2.8M
+        # rows on the bench suite) happens INSIDE the vectorized kernel
+        # as term-indexed boost/must/not matrix lookups + per-doc
+        # reduceat, never as materialized rows; each partition also
+        # prunes to per-query top-k / best-per-conv before anything
+        # shuffles again.
+        enriched = scored.repartition("doc_id").join(
+            self.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+        )
+        pruned = enriched.mapInPandas(
+            _shared_batch_kernel(clause_rows, cfg_rows), BATCH_ROW_SCHEMA
+        )
+        return (
+            pruned.repartition("query_id")
+            .mapInPandas(
+                _finalize_batch(),
+                "query_id string, rank int, doc_id long, conv_id string, "
+                "turn_idx int, score double",
+            )
+            .select("query_id", *RESULT_COLS)
+        )
 
     def _finish(self, scores: DataFrame, k: int | None, mode: str, with_text: bool) -> DataFrame:
         enriched = scores.join(
