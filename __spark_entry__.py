@@ -648,6 +648,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embed_ann_lsh"] = embed_ann_lsh
 
+    def embed_ann_ivf(spark, sf_dir):
+        # IVF-Flat ANN: deterministic sample-trained Lloyd quantizer,
+        # nprobe nearest inverted lists, exact re-rank within.  k-means
+        # is the canonical iterative non-SQL-expressible algorithm — no
+        # DuckDB oracle BY DESIGN; recall + determinism are pytest-gated
+        # (tests/test_textproc.py::test_ivf_recall_and_determinism)
+        e = _tbl(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qv = _query_vec(spark, sf_dir)
+        return S.ivf_topk(e, qv, k=10, nprobe=4, n_lists=16).select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["embed_ann_ivf"] = embed_ann_ivf
+
+    def embed_neardup_banded(spark, sf_dir):
+        # multi-table LSH near-dup (skew-bounded scale variant): 4
+        # tables x 6 planes, union of per-table bucket collisions,
+        # exact-cosine verified — full DuckDB oracle (planes inlined)
+        e = _tbl(spark, sf_dir, "embeddings").select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        return (
+            S.embedding_near_dup_pairs_banded(
+                e, threshold=0.45, tables=4, planes_per_table=6, dim=64
+            )
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+            .orderBy("id_a", "id_b")
+        )
+
+    q["embed_neardup_banded"] = embed_neardup_banded
+
     # ---------------- text quality / analysis ------------------------------
     def quality_profile(spark, sf_dir):
         d = _docs(spark, sf_dir)
@@ -1118,6 +1151,44 @@ ORDER BY list_dot_product(c.v, q.v) /
          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
          c.vec_id ASC
 LIMIT 10"""
+
+    # banded near-dup: 4 independent plane tables (seed 42 + 1000·t),
+    # per-table sign buckets, union of collisions, exact-cosine verify —
+    # the same fold-order dot-product agreement as embed_ann_lsh
+    _btables = 4
+    _bplanes = 6
+    _rows = []
+    for _t in range(_btables):
+        for _j, _p in enumerate(_rp(64, n_planes=_bplanes, seed=42 + 1000 * _t)):
+            _rows.append(
+                f"({_t}, [" + ", ".join(repr(float(x)) for x in _p) + f"], {_j})"
+            )
+    _bplane_rows = ",\n    ".join(_rows)
+    o["embed_neardup_banded"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl(tbl, p, j) AS (VALUES
+    {_bplane_rows}),
+bk AS (
+  SELECT e.vec_id, e.v, pl.tbl,
+         CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END) AS INT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, e.v, pl.tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b USING (tbl, bucket) WHERE a.vec_id < b.vec_id
+),
+pr AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(ea.v, eb.v) /
+         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine
+FROM pr WHERE cosine >= 0.45 ORDER BY id_a, id_b"""
+
+    # embed_ann_ivf: NO oracle by design — the quantizer is iterative
+    # k-means (Lloyd), the one class the contract exempts; the driver
+    # records the rows-only check and pytest gates recall/determinism.
 
     # ---------------- quality ----------------
     _punct = "CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END"

@@ -93,6 +93,153 @@ def ann_topk_lsh(
     return cosine_topk_brute(cand, query_vec, k, vec_col, id_col)
 
 
+def embedding_near_dup_pairs_banded(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tables: int = 4,
+    planes_per_table: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-table (banded) LSH near-dup pairs — the skew-bounded scale
+    variant of :func:`embedding_near_dup_pairs`.
+
+    ``tables`` independent plane sets (seeded ``seed + 1000·t``); a pair
+    is a candidate if it shares a bucket in ANY table, then exact-cosine
+    verified.  More planes per table ⇒ exponentially smaller buckets
+    (bounding the per-bucket self-join even when embeddings cluster);
+    the union over tables restores recall.  Collision probability for
+    similarity s: 1 - (1 - p(s)^b)^T with p(s) = 1 - arccos(s)/π."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    withv = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded = withv.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        rp_bucket_expr(
+                            "v", random_planes(dim, planes_per_table, seed + 1000 * t)
+                        ).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    iters: int = 5,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: Lloyd k-means on a BOUNDED,
+    deterministic sample (the ``sample`` lowest ids — collect stays
+    driver-safe at any corpus size), seeded init, fixed iteration
+    count, empty clusters re-seeded deterministically.  Standard IVF
+    practice trains the quantizer on a sample; assignment (the data-
+    sized pass) stays distributed in :func:`ivf_assign`."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(x))
+    cents = x[rng.choice(len(x), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties → lowest centroid id
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+            else:  # re-seed an empty list with the farthest point
+                cents[c] = x[d2.min(axis=1).argmax()]
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, v, list_id): nearest-centroid assignment, Arrow-batched
+    numpy matmul (‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ties → lowest list id).
+    At scale the output is written ``partitionBy("list_id")`` so probes
+    prune partitions."""
+    import pandas as pd
+
+    c = centroids.astype(np.float64)
+    cn = (c * c).sum(axis=1)
+
+    def _nearest(vs):
+        x = np.array(vs.tolist(), dtype=np.float64)
+        d = x @ c.T * (-2.0) + cn[None, :]  # ‖x‖² constant per row — argmin-safe
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    nearest = F.pandas_udf(_nearest, "int")
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("list_id", nearest(F.col("v")))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: rank inverted lists by centroid distance
+    to the query, scan only the ``nprobe`` nearest lists, exact-cosine
+    re-rank within.  The classic coarse-quantizer ANN (IVF-Flat);
+    deterministic end-to-end (seeded sample-trained quantizer), so
+    results are stable across runs and partitionings."""
+    if centroids is None:
+        centroids = ivf_train(df, n_lists, vec_col, id_col, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    cand = assigned.where(F.col("list_id").isin(probes)).select(
+        F.col("id").alias(id_col), F.col("v").alias(vec_col)
+    )
+    return cosine_topk_brute(cand, query_vec, k, vec_col, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -103,6 +103,55 @@ def test_embedding_near_dup_pairs(vecs):
     assert (3, 7) in pairs
 
 
+def test_embedding_near_dup_banded(vecs):
+    # banded multi-table variant: more planes per table (smaller, skew-
+    # bounded buckets), union of tables restores recall — the planted
+    # near-identical pair must survive, and every reported pair must be
+    # a true >= threshold pair (subset of the exhaustive answer)
+    banded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.embedding_near_dup_pairs_banded(
+            vecs, threshold=0.95, tables=4, planes_per_table=8
+        ).collect()
+    }
+    assert (3, 7) in banded
+    brute_pairs = set()
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in vecs.collect()}
+    for a in rows:
+        for b in rows:
+            if a < b:
+                c = float(
+                    rows[a] @ rows[b] / (np.linalg.norm(rows[a]) * np.linalg.norm(rows[b]))
+                )
+                if c >= 0.95:
+                    brute_pairs.add((a, b))
+    assert set(banded) <= brute_pairs  # no false positives
+
+
+def test_ivf_recall_and_determinism(vecs):
+    rng = np.random.default_rng(5)
+    rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    hits = 0
+    for qid in [0, 1, 10, 11, 20]:
+        q = [float(x + 0.05 * rng.standard_normal()) for x in rows[qid]]
+        brute = [r["vec_id"] for r in S.cosine_topk_brute(vecs, q, k=3).collect()]
+        ivf = [
+            r["vec_id"]
+            for r in S.ivf_topk(vecs, q, k=3, nprobe=2, n_lists=4).collect()
+        ]
+        hits += len(set(brute) & set(ivf))
+    assert hits >= 12  # ≥80% top-3 recall with nprobe=2 of 4 lists
+    # determinism across partitionings: the sample-trained quantizer and
+    # the probed result are identical regardless of input layout
+    q = [float(x) for x in rows[3]]
+    a = [(r["vec_id"], round(r["cosine"], 9)) for r in S.ivf_topk(vecs, q, k=5, nprobe=2, n_lists=4).collect()]
+    b = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in S.ivf_topk(vecs.repartition(13), q, k=5, nprobe=2, n_lists=4).collect()
+    ]
+    assert a == b and a[0][0] == 3
+
+
 def test_quality_profile(spark):
     df = spark.createDataFrame(
         [
