@@ -159,3 +159,35 @@ def test_prefix_plan_prunes_postings_partitions(spark, index_dir):
     }
     got = {r["doc_id"] for r in df.select("doc_id").collect()}
     assert got == exp and got
+
+
+def test_fuzzy_and_wildcard_plans_prune_partitions(spark, index_dir):
+    from emailindexer_spark.plans.parser import Fuzzy, Wildcard
+    from emailindexer_spark.plans.planner import SearchEngine
+
+    eng = SearchEngine(spark, index_dir)
+    base = eng.term_dict.orderBy("term").first()["term"]
+
+    # fuzzy: expansion resolves concrete terms, so the postings scan must
+    # carry a part IN (...) partition filter like any term lookup
+    df = eng._leaf_df(Fuzzy(text=base, max_edits=1), {})
+    assert df is not None
+    plan = df._jdf.queryExecution().toString()
+    import re as _re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "part#" in ln]
+    # a single-expansion fuzzy collapses IN (...) to an equality filter
+    assert pf and _re.search(r"part#\d+L? (IN \(|= )", pf[0]), plan
+    # docs-only read: the scan must NOT touch tf/norm/pos payloads
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "b_docs" in ln]
+    assert rs and "b_tfs" not in rs[0] and "b_norms" not in rs[0] and "b_pos" not in rs[0], rs
+    assert df.count() > 0
+
+    # wildcard with a literal prefix: term_dict-driven partition pruning
+    w = Wildcard(pattern=base[:1] + "?" + base[2:] if len(base) > 2 else base + "*")
+    dfw = eng._leaf_df(w, {})
+    assert dfw is not None
+    planw = dfw._jdf.queryExecution().toString()
+    pfw = [ln for ln in planw.splitlines() if "PartitionFilters" in ln and "part#" in ln]
+    assert pfw and _re.search(r"part#\d+L? (IN \(|= )", pfw[0]), planw
+    assert dfw.count() > 0
