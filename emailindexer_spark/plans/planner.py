@@ -347,7 +347,7 @@ def _phrase_score_fn(
 POS_STREAM_SCHEMA = "doc_id long, slot int, tf int, pos binary, norm int"
 
 
-def _decode_positions_stream(phrase_terms: tuple[str, ...]):
+def _decode_positions_stream(phrase_terms: tuple[str, ...], cand_docs=None):
     """mapInPandas over posting rows (with b_pos) → ONE compact row per
     (doc, slot): (doc_id, slot, tf, pos_bytes, norm).
 
@@ -357,12 +357,19 @@ def _decode_positions_stream(phrase_terms: tuple[str, ...]):
     df-rows with compressed payloads, not exploded positions.  Norm
     rides on slot-0 rows only.  Repeated phrase terms ("x x") emit the
     same postings under each of their slots — Lucene PhraseWeight
-    semantics fall out."""
+    semantics fall out.
+
+    ``cand_docs`` (a broadcast of the RAREST term's sorted doc ids)
+    filters every term's stream MAP-SIDE before the shuffle — Lucene's
+    lead-with-the-rarest-term iteration: a doc missing any phrase term
+    can never match, so the heavy terms' payloads for non-candidates
+    never leave the scan task."""
     slot_map: dict[str, list[int]] = {}
     for i, t in enumerate(phrase_terms):
         slot_map.setdefault(t, []).append(i)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand = cand_docs.value if cand_docs is not None else None
         for pdf in it:
             docs_out, slot_out, tf_out, pos_out, norm_out = [], [], [], [], []
             for r in pdf.itertuples(index=False):
@@ -378,7 +385,17 @@ def _decode_positions_stream(phrase_terms: tuple[str, ...]):
                     ends = np.nonzero((b & 0x80) == 0)[0] + 1  # byte end per value
                     byte_ends = ends[np.cumsum(t) - 1]  # byte end per doc
                     byte_starts = np.concatenate(([0], byte_ends[:-1]))
-                    bufs = [raw[a:z] for a, z in zip(byte_starts, byte_ends)]
+                    if cand is not None:
+                        # sorted-array membership: keep candidate docs only
+                        pos_in = np.searchsorted(cand, d)
+                        keep = (pos_in < cand.size) & (cand[np.minimum(pos_in, cand.size - 1)] == d)
+                        if not keep.any():
+                            continue
+                        sel = np.nonzero(keep)[0]
+                        bufs = [raw[byte_starts[x]:byte_ends[x]] for x in sel]
+                        d, t, n = d[sel], t[sel], n[sel]
+                    else:
+                        bufs = [raw[a:z] for a, z in zip(byte_starts, byte_ends)]
                     for s in slots:
                         docs_out.append(d)
                         slot_out.append(np.full(d.size, s, dtype=np.int32))
@@ -844,9 +861,23 @@ class SearchEngine:
                 # positions path (index is DOCS_AND_FREQS_AND_POSITIONS):
                 # decode the phrase terms' position payloads, ONE shuffle
                 # by doc_id, vectorized adjacency merge — cost scales with
-                # the terms' postings volume, never with corpus text size
+                # the terms' postings volume, never with corpus text size.
+                # Lead with the rarest term (Lucene's conjunction order):
+                # when one term is much rarer, its doc set is broadcast
+                # and the heavier terms' payloads are filtered MAP-SIDE,
+                # so non-candidate positions never enter the shuffle.
+                cand_bc = None
+                dfs = self.term_dfs(terms)
+                min_t = min(dfs, key=dfs.get)
+                if dfs[min_t] * 4 <= max(dfs.values()) and dfs[min_t] <= 500_000:
+                    ids = (
+                        self._docs_for_terms({min_t})
+                        .toPandas()["doc_id"]
+                        .to_numpy(np.int64)
+                    )
+                    cand_bc = self.spark.sparkContext.broadcast(np.sort(ids))
                 stream = self._rows_for_terms(terms, self.POS_COLS).mapInPandas(
-                    _decode_positions_stream(node.terms), POS_STREAM_SCHEMA
+                    _decode_positions_stream(node.terms, cand_bc), POS_STREAM_SCHEMA
                 )
                 scored = stream.repartition("doc_id").mapInPandas(
                     _phrase_match_positions(
