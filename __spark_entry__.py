@@ -521,6 +521,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_top_revenue_orders"] = tpch_top_revenue_orders
 
+    def tpch_local_supplier_volume(spark, sf_dir):
+        # TPC-H Q5 shape: 6-table join (region→nation→supplier ⋈
+        # customer/orders/lineitem with the same-nation constraint);
+        # region/nation/supplier are broadcast dims (Catalyst auto-BHJ
+        # under the 32 MB threshold), the lineitem fact never re-shuffles
+        # for them
+        c = _tbl(spark, sf_dir, "customer")
+        o = _tbl(spark, sf_dir, "orders")
+        li = _tbl(spark, sf_dir, "lineitem")
+        s = _tbl(spark, sf_dir, "supplier")
+        n = _tbl(spark, sf_dir, "nation")
+        r = _tbl(spark, sf_dir, "region")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, F.col("l_orderkey") == o.o_orderkey)
+            .join(
+                F.broadcast(s),
+                (F.col("l_suppkey") == s.s_suppkey)
+                & (F.col("c_nationkey") == s.s_nationkey),
+            )
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .where(F.col("r_name") == "ASIA")
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+        )
+
+    q["tpch_local_supplier_volume"] = tpch_local_supplier_volume
+
+    def tpch_brand_revenue(spark, sf_dir):
+        # part-dimension join + grouped revenue (Q14-ish): the fact
+        # joins a broadcast part dim filtered before the join
+        li = _tbl(spark, sf_dir, "lineitem")
+        p = _tbl(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+        return (
+            li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+            .orderBy("p_brand")
+        )
+
+    q["tpch_brand_revenue"] = tpch_brand_revenue
+
     # ---------------- dedup suite ------------------------------------------
     def dedup_exact(spark, sf_dir):
         dd = _docs_with_planted_dups(spark, sf_dir)
@@ -969,6 +1022,25 @@ JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
 ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10"""
+
+    o["tpch_local_supplier_volume"] = """
+SELECT n_name, round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name"""
+
+    o["tpch_brand_revenue"] = """
+SELECT p_brand, round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 20
+GROUP BY p_brand ORDER BY p_brand"""
 
     # ---------------- dedup ----------------
     o["dedup_exact"] = f"""

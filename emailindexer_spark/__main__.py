@@ -67,6 +67,21 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_search_batch(args) -> int:
+    """Run a JSON file of queries {qid: [query, k, mode]} in ONE job —
+    flat queries share a single postings scan (planner.search_many)."""
+    from emailindexer_spark.plans.planner import SearchEngine
+
+    spark = _spark(args)
+    eng = SearchEngine(spark, args.index)
+    with open(args.queries) as f:
+        raw = json.load(f)
+    batch = {qid: (q[0], int(q[1]), q[2] if len(q) > 2 else "turns") for qid, q in raw.items()}
+    for r in eng.search_many(batch, use_wand=args.wand).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from emailindexer_spark.streaming.ingest import incremental_append
 
@@ -139,6 +154,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--wand", action=argparse.BooleanOptionalAction, default=None)
     s.add_argument("--text", action="store_true")
     s.set_defaults(fn=cmd_search)
+
+    sb = sub.add_parser(
+        "search-batch", help="run a JSON batch of queries in one shared-scan job"
+    )
+    sb.add_argument("--index", required=True)
+    sb.add_argument("--queries", required=True, help='JSON: {"qid": ["query", k, "mode"], ...}')
+    sb.add_argument("--wand", action=argparse.BooleanOptionalAction, default=None)
+    sb.set_defaults(fn=cmd_search_batch)
 
     i = sub.add_parser("ingest", help="append a transcript batch to an index")
     i.add_argument("--index", required=True)
