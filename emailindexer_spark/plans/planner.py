@@ -67,13 +67,23 @@ TERM_SCORE_SCHEMA = "term string, doc_id long, score double"
 RESULT_COLS = ["rank", "doc_id", "conv_id", "turn_idx", "score"]
 
 
-def _decode_score_rows(idf_map: dict[str, float], avgdl: float, avgdl_map: dict[str, float] | None = None):
+def _decode_score_rows(
+    idf_map: dict[str, float],
+    avgdl: float,
+    avgdl_map: dict[str, float] | None = None,
+    cand_docs=None,
+):
     """mapInPandas over posting rows → (term, doc_id, score).
 
     ``avgdl_map`` overrides the default-field avgdl per KEY for
-    field-prefixed keys (per-field BM25 statistics)."""
+    field-prefixed keys (per-field BM25 statistics).  ``cand_docs``
+    (broadcast of a sorted doc-id array — the rarest MUST term's
+    postings) filters every block MAP-SIDE: docs outside the set can
+    never satisfy the conjunction, so their tf/norm decode and shuffle
+    bytes are skipped entirely."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand = cand_docs.value if cand_docs is not None else None
         for pdf in it:
             terms, docs, scores = [], [], []
             for r in pdf.itertuples(index=False):
@@ -83,6 +93,14 @@ def _decode_score_rows(idf_map: dict[str, float], avgdl: float, avgdl_map: dict[
                 adl = avgdl_map.get(r.term, avgdl) if avgdl_map else avgdl
                 for i in range(len(r.b_docs)):
                     d, t, n = decode_block(int(r.b_first[i]), r.b_docs[i], r.b_tfs[i], r.b_norms[i])
+                    if cand is not None:
+                        pos_in = np.searchsorted(cand, d)
+                        keep = (pos_in < cand.size) & (
+                            cand[np.minimum(pos_in, cand.size - 1)] == d
+                        )
+                        if not keep.any():
+                            continue
+                        d, t, n = d[keep], t[keep], n[keep]
                     s = bm25.score_tf(t, n, adl, iv)
                     docs.append(d)
                     scores.append(s)
@@ -716,10 +734,32 @@ class SearchEngine:
         terms: set[str],
         idf_map: dict[str, float],
         avgdl_map: dict[str, float] | None = None,
+        cand_docs=None,
     ) -> DataFrame:
         return self._rows_for_terms(terms, self.SCORE_COLS).mapInPandas(
-            _decode_score_rows(idf_map, self.avgdl, avgdl_map), TERM_SCORE_SCHEMA
+            _decode_score_rows(idf_map, self.avgdl, avgdl_map, cand_docs),
+            TERM_SCORE_SCHEMA,
         )
+
+    #: rarest-term-lead thresholds: broadcast the rarest MUST/phrase
+    #: term's doc ids when it is ≥4× rarer than the widest co-term and
+    #: its df ≤ 500k (≤ 4 MB broadcast)
+    LEAD_MAX_DF = 500_000
+    LEAD_RATIO = 4
+
+    def _lead_docs_bc(self, must_terms: set[str], all_terms: set[str]):
+        """Broadcast of the rarest must-term's sorted doc ids, or None
+        when the skew does not justify the extra (partition-pruned,
+        docs-only) pass."""
+        dfs = self.term_dfs(all_terms)
+        if not must_terms or any(t not in dfs for t in must_terms):
+            return None
+        min_t = min(must_terms, key=lambda t: dfs[t])
+        widest = max(dfs.values())
+        if dfs[min_t] > self.LEAD_MAX_DF or dfs[min_t] * self.LEAD_RATIO > widest:
+            return None
+        ids = self._docs_for_terms({min_t}).toPandas()["doc_id"].to_numpy(np.int64)
+        return self.spark.sparkContext.broadcast(np.sort(ids))
 
     def _constant_score_docs(self, pred, field: str, boost: float) -> DataFrame | None:
         """Multi-term constant-score rewrite (Prefix/TermRange): expand
@@ -866,16 +906,7 @@ class SearchEngine:
                 # when one term is much rarer, its doc set is broadcast
                 # and the heavier terms' payloads are filtered MAP-SIDE,
                 # so non-candidate positions never enter the shuffle.
-                cand_bc = None
-                dfs = self.term_dfs(terms)
-                min_t = min(dfs, key=dfs.get)
-                if dfs[min_t] * 4 <= max(dfs.values()) and dfs[min_t] <= 500_000:
-                    ids = (
-                        self._docs_for_terms({min_t})
-                        .toPandas()["doc_id"]
-                        .to_numpy(np.int64)
-                    )
-                    cand_bc = self.spark.sparkContext.broadcast(np.sort(ids))
+                cand_bc = self._lead_docs_bc(terms, terms)
                 stream = self._rows_for_terms(terms, self.POS_COLS).mapInPandas(
                     _decode_positions_stream(node.terms, cand_bc), POS_STREAM_SCHEMA
                 )
@@ -1014,8 +1045,15 @@ class SearchEngine:
             return None
         # MUST_NOT terms never enter the scored stream: they need doc
         # membership only, via the docs-only decode (no tf/norm IO, no
-        # BM25 math on what is typically a heavy exclusion term)
-        scored = self._scored_terms_df(set(scoring), idf_map, avgdl_map)
+        # BM25 math on what is typically a heavy exclusion term).
+        # Conjunctions lead with the rarest MUST term (Lucene's driver
+        # iterator): its doc set filters every other term's decode
+        # map-side, so the wide terms' non-candidate rows never score
+        # or shuffle.
+        lead = self._lead_docs_bc(
+            {t for t in musts if t in idf_map}, {t for t in scoring if t in idf_map}
+        )
+        scored = self._scored_terms_df(set(scoring), idf_map, avgdl_map, lead)
         boost_expr = F.create_map(
             *[x for t, b in boosts.items() for x in (F.lit(t), F.lit(b))]
         )
