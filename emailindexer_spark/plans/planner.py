@@ -1013,9 +1013,20 @@ class SearchEngine:
             texts = {c.text for _, c in node.clauses}
         if texts is not None:
             texts = {t for t in texts if t in idf_map}
-            return self._docs_for_terms(texts) if texts else None
+            return self._not_docs_maybe_bc(texts) if texts else None
         d = self._score_node(node, idf_map, avgdl_map)
         return d.select("doc_id") if d is not None else None
+
+    def _not_docs_maybe_bc(self, terms: set[str]) -> DataFrame:
+        """Docs-only stream for MUST_NOT terms, broadcast-hinted when
+        the summed df is known small (the exclusion side of a left-anti
+        join builds a hash set; a Python-UDF-produced stream has no
+        stats, so Catalyst would otherwise pick a shuffle join)."""
+        nd = self._docs_for_terms(terms)
+        dfs = self.term_dfs(terms)
+        if sum(dfs.values()) <= 2_000_000:
+            nd = F.broadcast(nd)
+        return nd
 
     @staticmethod
     def _is_flat_terms(node: Bool) -> bool:
@@ -1073,7 +1084,7 @@ class SearchEngine:
             g = g.where(F.col("_nmust") == len(set(musts))).drop("_nmust")
         not_terms = {t for t in nots if t in idf_map}
         if not_terms:
-            g = g.join(self._docs_for_terms(not_terms), "doc_id", "left_anti")
+            g = g.join(self._not_docs_maybe_bc(not_terms), "doc_id", "left_anti")
         if node.boost != 1.0:
             g = g.withColumn("score", F.col("score") * F.lit(node.boost))
         return g
@@ -1268,11 +1279,28 @@ class SearchEngine:
             self.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id"
         )
         if mode == "conversations":
-            w = Window.partitionBy("conv_id").orderBy(F.desc("score"), F.asc("doc_id"))
+            # best-per-conv as a hash aggregation, NOT a window: structs
+            # compare lexicographically, so max(struct(score, -doc_id,
+            # …payload)) picks the (score desc, doc_id asc) winner with
+            # map-side partial combine — no per-conv sort of all
+            # candidates, no window exchange of losers
+            best = F.max(
+                F.struct(
+                    F.col("score"),
+                    (-F.col("doc_id")).alias("_nd"),
+                    F.col("doc_id"),
+                    F.col("turn_idx"),
+                )
+            ).alias("_b")
             enriched = (
-                enriched.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
+                enriched.groupBy("conv_id")
+                .agg(best)
+                .select(
+                    F.col("_b.doc_id").alias("doc_id"),
+                    "conv_id",
+                    F.col("_b.turn_idx").alias("turn_idx"),
+                    F.col("_b.score").alias("score"),
+                )
             )
         ordered = enriched.orderBy(F.desc("score"), F.asc("doc_id"))
         if k is not None:
