@@ -168,3 +168,59 @@ def test_phrase_positionless_fallback_matches(spark, corpus_sdf, oracle_ix, engi
             _assert_match(got, exp, f"fallback:{q}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_randomized_query_parity(engine, oracle_ix, corpus_pdf):
+    # seeded fuzz across the WHOLE grammar: random queries mixing terms,
+    # phrases (with slop), prefixes, wildcards, fuzzy, ranges, boosts and
+    # +/- occurs — engine and oracle must agree on every one.  Catches
+    # node-type interactions (fuzzy under NOT, wildcard as MUST, ...)
+    # that the fixed reference set cannot.
+    import numpy as np
+
+    from emailindexer_spark.functions.tokenizer import tokenize
+
+    rng = np.random.default_rng(1234)
+    vocab = sorted({t for txt in corpus_pdf["text"].head(300) for t in tokenize(txt)})
+    vocab = [t for t in vocab if len(t) >= 3]
+
+    def leaf() -> str:
+        t = str(rng.choice(vocab))
+        r = rng.random()
+        if r < 0.40:
+            return t
+        if r < 0.52:
+            ph = f'"{t} {rng.choice(vocab)}"'
+            return ph + (f"~{int(rng.integers(0, 3))}" if rng.random() < 0.5 else "")
+        if r < 0.62:
+            return t[:2] + "*"
+        if r < 0.70:
+            return t + "~1"
+        if r < 0.78:
+            return t[0] + "?" + t[2:]
+        if r < 0.88:
+            lo, hi = sorted([t[:2], str(rng.choice(vocab))[:2] + "z"])
+            return f"[{lo} TO {hi}]"
+        return t + "^2"
+
+    checked = nonempty = 0
+    for _ in range(30):
+        parts = []
+        for _i in range(int(rng.integers(1, 4))):
+            p = leaf()
+            r = rng.random()
+            if r < 0.12:
+                p = "+" + p
+            elif r < 0.24:
+                p = "-" + p
+            parts.append(p)
+        q = " ".join(parts)
+        exp = osearch(oracle_ix, q, k=20)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in engine.search(q, k=20, use_wand=False).collect()
+        ]
+        _assert_match(got, exp, q)
+        checked += 1
+        nonempty += bool(got)
+    assert checked == 30 and nonempty >= 15
