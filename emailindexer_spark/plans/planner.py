@@ -7,8 +7,8 @@ pruning (part = md5(term) % P is computed in Python, so only matching
 ``part=`` directories are read; the term predicate additionally prunes
 parquet row-groups via min/max on the sorted ``term`` column) →
 vectorized decode+score (Arrow batches, numpy BM25) → boolean
-combination in DataFrame ops → conversation collapse (window top-1 per
-conv_id) → global top-k (TakeOrderedAndProject).
+combination in DataFrame ops → conversation collapse (max-struct hash
+agg, best row per conv_id) → global top-k (TakeOrderedAndProject).
 
 Scoring needs NO join against per-doc stats: norms ride inside the
 postings payload (functions/codec.py), so a term's score stream is a
@@ -16,12 +16,19 @@ pure map over its posting rows.  The only joins are candidate-sized:
 conv_id attachment for collapse mode and text attachment for phrase
 verification / display.
 
-Routing: flat pure-OR term queries in turns mode go to block-max WAND
-(plans/wand.py — the reference's Lucene uses BMW exactly there,
-EmailIndexSearcher.java:107); everything else (conjunctions, phrases,
-prefixes, conversation collapse) uses the exhaustive path, matching the
+Selectivity leads (Lucene's driver-iterator order): conjunctions and
+phrases broadcast the rarest MUST term's doc ids and filter every wider
+term's block decode map-side; MUST_NOT terms decode doc ids only (no
+tf/norm IO, no scoring) into a broadcast-hinted anti join.
+
+Routing: flat term disjunctions in turns mode (incl. multi-field, via
+per-key avgdl) go to block-max WAND (plans/wand.py — the reference's
+Lucene uses BMW exactly there, EmailIndexSearcher.java:107); everything
+else (conjunctions, phrases, prefixes/wildcards/fuzzy/ranges,
+conversation collapse) uses the exhaustive path, matching the
 reference's own exhaustive flagship search (n=Integer.MAX_VALUE,
-EmailIndexSearcher.java:57).
+EmailIndexSearcher.java:57).  ``search_many`` batches flat queries onto
+ONE shared postings scan with a vectorized per-query fan-out kernel.
 """
 
 from __future__ import annotations
