@@ -92,6 +92,17 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge ingested per-batch posting splits back into minimal runs
+    (the Lucene segment-merge analogue) — no re-tokenize, no text IO."""
+    from emailindexer_spark.streaming.compact import compact_index
+
+    spark = _spark(args)
+    man = compact_index(spark, args.index)
+    print(json.dumps({"snapshot_id": man.snapshot_id, "compactions": man.stats["compactions"]}))
+    return 0
+
+
 def cmd_package(args) -> int:
     """Zip the package for spark-submit --py-files + a thin main.py."""
     import zipfile
@@ -167,6 +178,10 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--index", required=True)
     i.add_argument("--batch", required=True)
     i.set_defaults(fn=cmd_ingest)
+
+    cp = sub.add_parser("compact", help="merge ingested posting splits (segment merge)")
+    cp.add_argument("--index", required=True)
+    cp.set_defaults(fn=cmd_compact)
 
     pk = sub.add_parser("package", help="emit --py-files zip + driver shim")
     pk.add_argument("--out", default="dist")

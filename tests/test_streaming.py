@@ -117,3 +117,69 @@ def test_stream_ingest_available_now(spark, corpus3):
     finally:
         for p in (d, src, ckpt):
             shutil.rmtree(p, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_compact_merges_ingested_splits(spark, corpus3):
+    from pyspark.sql import functions as F
+
+    from emailindexer_spark.streaming.compact import compact_index, _repair_partial
+    from emailindexer_spark.sources.checkpoint import Manifest
+
+    base, b1, b2 = corpus3
+    d = tempfile.mkdtemp(prefix="ix_compact_")
+    try:
+        IndexBuilder(spark, d, num_parts=8, heavy_df_threshold=500, split_target=400).build(
+            spark.createDataFrame(base)
+        )
+        incremental_append(spark, d, spark.createDataFrame(b1))
+        incremental_append(spark, d, spark.createDataFrame(b2))
+        eng = SearchEngine(spark, d)
+        queries = [("qojema", "turns"), ("qojema fuhepi", "turns"), ('"noza guka"', "turns"), ("fuhepi", "conversations")]
+        before = {
+            (q, m): [
+                (r["doc_id"], round(r["score"], 9))
+                for r in eng.search(q, k=10, mode=m, use_wand=False).collect()
+            ]
+            for q, m in queries
+        }
+        p = spark.read.parquet(os.path.join(d, "postings"))
+        rows_before = p.count()
+        # ingest created per-batch splits: some term must have >1 row
+        multi = p.groupBy("term").count().where("count > 1").count()
+        assert multi > 0, "fixture must produce multi-row terms pre-compaction"
+        dfs_before = {r["term"]: r["df"] for r in p.groupBy("term").agg(F.sum("df_row").alias("df")).collect()}
+
+        man = compact_index(spark, d)
+        assert man.stats["compactions"] == 1
+
+        eng2 = SearchEngine(spark, d)
+        p2 = spark.read.parquet(os.path.join(d, "postings"))
+        rows_after = p2.count()
+        assert rows_after < rows_before  # splits merged
+        # every non-heavy term is now exactly ONE row
+        assert p2.groupBy("term").count().where("count > 1").join(
+            p2.groupBy("term").agg(F.sum("df_row").alias("df")).where(F.col("df") <= 500),
+            "term",
+        ).count() == 0
+        # df per term invariant (term_dict untouched by design)
+        dfs_after = {r["term"]: r["df"] for r in p2.groupBy("term").agg(F.sum("df_row").alias("df")).collect()}
+        assert dfs_after == dfs_before
+        for (q, m), exp in before.items():
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in eng2.search(q, k=10, mode=m, use_wand=False).collect()
+            ]
+            assert got == exp, (q, m)
+        # ingest AFTER compaction still integrates
+        extra = base.head(0)
+        incremental_append(spark, d, spark.createDataFrame(b1.assign(conv_id="zz_" + b1["conv_id"])))
+        eng3 = SearchEngine(spark, d)
+        assert eng3.n_rows == eng2.n_rows + len(b1)
+        # crash-repair: a leftover .bak with live missing is restored
+        live = os.path.join(d, "postings")
+        os.rename(live, live + ".bak")
+        _repair_partial(Manifest.load_or_create(d))
+        assert os.path.isdir(live) and not os.path.isdir(live + ".bak")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
