@@ -34,7 +34,7 @@ def cmd_build(args) -> int:
     from emailindexer_spark.sources.transcripts import load_transcripts
 
     spark = _spark(args)
-    df = load_transcripts(spark, args.input)
+    df = load_transcripts(spark, args.input, format=args.format)
     man = IndexBuilder(
         spark,
         args.out,
@@ -139,6 +139,10 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("build", help="build an index from a transcripts table")
     b.add_argument("--input", required=True)
+    b.add_argument(
+        "--format", default=None, choices=["parquet", "json", "jsonl", "csv"],
+        help="input format (default: inferred from the path suffix)",
+    )
     b.add_argument("--out", required=True)
     b.add_argument("--num-parts", type=int, default=32)
     b.add_argument("--heavy-df-threshold", type=int, default=100_000)

@@ -33,9 +33,46 @@ docs AS (
 )"""
 
 
-def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Read a materialized transcripts table (parquet dir or file)."""
-    return spark.read.parquet(path)
+#: transcripts schema (BASELINE.json input_hint) — used for schema-less
+#: text formats so types land right without inference scans
+TRANSCRIPTS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def load_transcripts(spark: SparkSession, path: str, format: str | None = None) -> DataFrame:
+    """Read a materialized transcripts table.
+
+    ``format``: ``parquet`` (default), ``jsonl``/``json`` (one object
+    per line), ``csv`` (headered) — inferred from the path suffix when
+    None.  Text formats read with the explicit input_hint schema (no
+    inference pass; a malformed row fails loudly via FAILFAST rather
+    than nulling out)."""
+    fmt = format
+    if fmt is None:
+        low = path.rstrip("/").lower()
+        if low.endswith((".jsonl", ".json", ".ndjson")):
+            fmt = "json"
+        elif low.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt in ("json", "jsonl", "ndjson"):
+        return spark.read.schema(TRANSCRIPTS_SCHEMA).option("mode", "FAILFAST").json(path)
+    if fmt == "csv":
+        return (
+            spark.read.schema(TRANSCRIPTS_SCHEMA)
+            .option("header", "true")
+            .option("mode", "FAILFAST")
+            # transcript text can carry embedded newlines (quoted-reply
+            # lines); RFC-4180 quoting needs multiLine + '"' escaping
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
+    raise ValueError(f"unsupported transcripts format {fmt!r}")
 
 
 def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:

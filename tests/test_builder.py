@@ -191,3 +191,23 @@ def test_fuzzy_and_wildcard_plans_prune_partitions(spark, index_dir):
     pfw = [ln for ln in planw.splitlines() if "PartitionFilters" in ln and "part#" in ln]
     assert pfw and _re.search(r"part#\d+L? (IN \(|= )", pfw[0]), planw
     assert dfw.count() > 0
+
+
+def test_load_transcripts_jsonl_and_csv(spark, tmp_path):
+    from emailindexer_spark.sources.fixtures import make_transcripts
+    from emailindexer_spark.sources.transcripts import load_transcripts
+
+    pdf = make_transcripts(200, seed=3)
+    jl = str(tmp_path / "t.jsonl")
+    pdf.to_json(jl, orient="records", lines=True, date_format="iso")
+    got = load_transcripts(spark, jl)
+    assert got.count() == len(pdf)
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    cv = str(tmp_path / "t.csv")
+    pdf.to_csv(cv, index=False)
+    got_csv = load_transcripts(spark, cv)
+    assert got_csv.count() == len(pdf)
+    # same (conv_id, turn_idx, text) content through both formats
+    a = {(r["conv_id"], r["turn_idx"], r["text"]) for r in got.collect()}
+    b = {(r["conv_id"], r["turn_idx"], r["text"]) for r in got_csv.collect()}
+    assert a == b
