@@ -222,3 +222,15 @@ def export_txt(results: DataFrame, path: str) -> None:
         ).alias("value")
     )
     lines.write.mode("overwrite").text(path)
+
+
+def export_parquet(results: DataFrame, path: str) -> None:
+    """Columnar sink (beyond the reference's CSV/TXT): the natural
+    handoff format to a downstream Spark/DuckDB/pandas consumer."""
+    results.write.mode("overwrite").parquet(path)
+
+
+def export_jsonl(results: DataFrame, path: str) -> None:
+    """One JSON object per line — the training-data-pipeline interchange
+    format; round-trips through sources.transcripts.load_transcripts."""
+    results.write.mode("overwrite").json(path)

@@ -125,3 +125,11 @@ def test_exports_csv_txt(spark, tdf):
         R.export_txt(sample, os.path.join(d, "txt"))
         txt = spark.read.text(os.path.join(d, "txt"))
         assert txt.count() == 50
+        R.export_parquet(sample, os.path.join(d, "pq"))
+        assert spark.read.parquet(os.path.join(d, "pq")).count() == 50
+        R.export_jsonl(sample, os.path.join(d, "jl"))
+        # round-trips through the jsonl transcript source
+        from emailindexer_spark.sources.transcripts import load_transcripts
+
+        back_jl = load_transcripts(spark, os.path.join(d, "jl"), format="jsonl")
+        assert back_jl.count() == 50
