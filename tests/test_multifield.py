@@ -141,3 +141,57 @@ def test_default_prefix_does_not_leak_into_other_fields(mf_engine, mf_oracle):
         for r in mf_engine.search("text:as*", k=2000, use_wand=False).collect()
     ]
     _assert_match(got, exp, "text:as*")
+
+
+def test_multifield_randomized_parity(mf_engine, mf_oracle, corpus_pdf):
+    # seeded fuzz over the two-field index: bare leaves (both-field sum),
+    # text:/role: routing, unknown fields, fuzzy/prefix/phrase mixes
+    import numpy as np
+
+    from emailindexer_spark.functions.tokenizer import tokenize
+
+    rng = np.random.default_rng(77)
+    vocab = sorted({t for txt in corpus_pdf["text"].head(200) for t in tokenize(txt)})
+    vocab = [t for t in vocab if len(t) >= 3]
+    roles = ["user", "assistant", "tool"]
+
+    def leaf():
+        r = rng.random()
+        t = str(rng.choice(vocab))
+        if r < 0.25:
+            return t
+        if r < 0.40:
+            return "role:" + str(rng.choice(roles))
+        if r < 0.50:
+            return "text:" + t
+        if r < 0.58:
+            return "subject:" + t  # unindexed field: matches nothing
+        if r < 0.68:
+            return "role:" + str(rng.choice(roles))[:2] + "*"
+        if r < 0.78:
+            return t + "~1"
+        if r < 0.88:
+            return f'"{t} {rng.choice(vocab)}"'
+        return t + "^2"
+
+    checked = nonempty = 0
+    for _ in range(25):
+        parts = []
+        for _i in range(int(rng.integers(1, 4))):
+            p = leaf()
+            r = rng.random()
+            if r < 0.12:
+                p = "+" + p
+            elif r < 0.24:
+                p = "-" + p
+            parts.append(p)
+        q = " ".join(parts)
+        exp = osearch(mf_oracle, q, k=15)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in mf_engine.search(q, k=15, use_wand=False).collect()
+        ]
+        _assert_match(got, exp, q)
+        checked += 1
+        nonempty += bool(got)
+    assert checked == 25 and nonempty >= 10
