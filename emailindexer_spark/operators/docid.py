@@ -80,14 +80,17 @@ def assign_doc_ids_with_total(
     caller runs its action while the pin is held (the build's doc_index
     write does).
 
-    Dense fast path: when turn_idx is verified dense from 0 within
-    every conversation (checked for free inside the conversation-counts
-    aggregation this method runs anyway) AND the conversation table is
-    broadcastable (≤ ``max_broadcast_convs`` rows), doc_id is the pure
-    arithmetic ``conv_offset + turn_idx`` over a broadcast-joined
-    offsets table — the per-turn rows are NEVER shuffled or window-
-    sorted.  Above the threshold (10^9+ conversations on a real
-    cluster) or on non-dense input, the general path engages: ONE
+    Small-conversation-table fast path: when the corpus has ≤
+    ``max_broadcast_convs`` conversations (a capped ``limit().collect``
+    keeps the check bounded at any scale), the (conv, count, density)
+    rows come straight to the driver, the prefix sum runs in Python,
+    and the offsets broadcast-join back.  Verified-dense input (checked
+    for free inside the same aggregation) then takes doc_id =
+    ``conv_offset + turn_idx`` — the per-turn rows are NEVER shuffled
+    or window-sorted; non-dense input ranks within each conversation
+    under the broadcast join.  Above the threshold (10^9+ conversations
+    on a real cluster) the general path engages: range-partitioned
+    per-partition sums, a driver prefix-sum over P values, ONE
     co-partitioned shuffle join on conv_id + a per-conversation
     row_number window in the same partitioning.
     """
@@ -108,8 +111,45 @@ def assign_doc_ids_with_total(
             | (F.count_distinct(F.col("turn_idx")) != F.count("*"))
         ).cast("int").alias("_sparse"),
     )
+    # small-conversation-table fast path: collect the (conv, count)
+    # pairs straight to the driver (capped — the limit guarantees a
+    # bounded collect even on a 10^10-conv corpus), prefix-sum in
+    # Python, broadcast-join.  Skips the range repartition (and its
+    # sampling job), the per-partition-sums round-trip, and the
+    # mapInPandas cumsum — three fewer serial steps in every build.
+    # conv_counts is persisted so the at-scale path reuses the one
+    # aggregation instead of recomputing it.
+    cc = conv_counts.persist()
+    head = cc.limit(max_broadcast_convs + 1).collect()
+    if len(head) <= max_broadcast_convs:
+        cc.unpersist(blocking=False)
+        # Python str sort == Spark UTF8 binary order (UTF-8 byte order
+        # preserves code-point order), so these offsets match the
+        # distributed range-partitioned cumsum exactly
+        head.sort(key=lambda r: r["conv_id"])
+        dense = all(int(r["_sparse"] or 0) == 0 for r in head)
+        acc = 0
+        offs = []
+        for r in head:
+            offs.append((r["conv_id"], acc))
+            acc += int(r["n_turns"])
+        offsets = spark.createDataFrame(offs, "conv_id string, conv_offset long")
+        if dense:
+            out = df.join(F.broadcast(offsets), "conv_id").withColumn(
+                "doc_id", (F.col("conv_offset") + F.col("turn_idx")).cast("long")
+            )
+        else:
+            # non-dense input (e.g. a streaming batch holding turns
+            # 5..9): rank within the conversation, same as the
+            # distributed path
+            w = Window.partitionBy("conv_id").orderBy("turn_idx")
+            out = df.join(F.broadcast(offsets), "conv_id").withColumn(
+                "doc_id",
+                (F.col("conv_offset") + F.row_number().over(w) - 1).cast("long"),
+            )
+        return out.drop("conv_offset"), acc
     parted = (
-        conv_counts.repartitionByRange(nparts, "conv_id")
+        cc.repartitionByRange(nparts, "conv_id")
         .sortWithinPartitions("conv_id")
         .persist()
     )
@@ -124,9 +164,8 @@ def assign_doc_ids_with_total(
             )
             .collect()
         )
+        cc.unpersist(blocking=False)  # parted's cache carries on from here
         part_sums = {r["pid"]: r["s"] for r in psums}
-        n_convs = sum(int(r["n_convs"]) for r in psums)
-        dense = all(int(r["n_sparse"] or 0) == 0 for r in psums)
         # driver-side prefix sum over at most `nparts` values
         prefix: dict[int, int] = {}
         acc = 0
@@ -144,22 +183,10 @@ def assign_doc_ids_with_total(
                 run += int(n.sum())
                 yield pd.DataFrame({"conv_id": pdf["conv_id"], "conv_offset": starts})
 
+        # (a broadcast-dense branch is unreachable here: the small-
+        # conversation-table path above already handled every corpus
+        # with ≤ max_broadcast_convs conversations)
         offsets = parted.mapInPandas(local_cumsum, "conv_id string, conv_offset long")
-        if dense and n_convs <= max_broadcast_convs:
-            # verified-dense fast path: broadcast the conversation
-            # offsets and compute doc_id arithmetically — zero shuffle
-            # and zero sort of the (wide) per-turn rows.  The persisted
-            # `parted` pin stays REQUIRED until the caller's action runs
-            # (broadcast collection recomputes offsets from the cache).
-            if pinned is not None:
-                keep_persisted = True
-                pinned.append(parted)
-            else:
-                offsets = offsets.localCheckpoint(eager=True)
-            out = df.join(F.broadcast(offsets), "conv_id").withColumn(
-                "doc_id", (F.col("conv_offset") + F.col("turn_idx")).cast("long")
-            )
-            return out.drop("conv_offset"), acc
         if checkpoint_offsets:
             # Materialize offsets NOW (localCheckpoint cuts the lineage):
             # the prefix sums above are only valid for the exact

@@ -66,3 +66,23 @@ def test_validate_rejects_sparse_turns(spark):
         [("c1", 0, "x"), ("c1", 1, "y")], "conv_id string, turn_idx int, text string"
     )
     validate_transcripts(ok)
+
+
+def test_big_path_matches_small_path(spark, small):
+    # force the at-scale machinery (range-partitioned per-partition
+    # sums + co-partitioned shuffle join + window) by capping the
+    # driver-collect threshold below the conv count, and prove it
+    # assigns the exact same ids as the small-table driver path
+    from emailindexer_spark.operators.docid import assign_doc_ids_with_total
+
+    base = _ids(assign_doc_ids(small, method="window"))
+    big, total_b = assign_doc_ids_with_total(
+        small.repartition(7), max_broadcast_convs=2
+    )
+    assert _ids(big) == base and total_b == small.count()
+    # partial conversations through the big path too (rank, not turn_idx)
+    rows = [("c1", i, "x") for i in range(5, 10)] + [("c2", i, "y") for i in range(3)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got, _t = assign_doc_ids_with_total(df, max_broadcast_convs=1)
+    ids = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in got.collect()}
+    assert ids[("c1", 5)] == 0 and ids[("c1", 9)] == 4 and ids[("c2", 0)] == 5
