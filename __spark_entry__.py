@@ -352,8 +352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_slop"] = bm25_slop
 
     def bm25_fuzzy(spark, sf_dir):
-        # FuzzyQuery spark~2 expands over the sorted term_dict to
-        # {part, spark} at sf0.01 (Levenshtein <= 2), constant-score
+        # FuzzyQuery spark~2 expands over the sorted term_dict
+        # (Levenshtein <= 2), then scores with Lucene's default
+        # TopTermsBlendedFreqScoringRewrite: per-term boost
+        # 1 - ed/min(|cand|, |query|), BM25 with df blended to the
+        # selected terms' max, SHOULD-summed
         eng = _engine_for(spark, sf_dir)
         return eng.search("spark~2", k=25).withColumn("score", F.round("score", 4))
 
@@ -928,20 +931,38 @@ SELECT CAST(row_number() OVER (ORDER BY phs.score DESC, dd.doc_id) AS INT) AS ra
 FROM phs JOIN docs dd USING (doc_id)
 ORDER BY phs.score DESC, dd.doc_id LIMIT 20"""
 
-    # FuzzyQuery spark~2: vocabulary expansion by classic Levenshtein
-    # (Spark and DuckDB agree), top-50 by df desc / term asc (Lucene
-    # maxExpansions), constant-score over docs matching any expansion
+    # FuzzyQuery spark~2, Lucene's default blended rewrite: expansion by
+    # classic Levenshtein (Spark and DuckDB agree), per-term boost
+    # 1 - ed/min(len(cand), len(query)), top-50 by boost/df/term, each
+    # expansion BM25-scored with df BLENDED to the selected max,
+    # SHOULD-summed per doc (TopTermsBlendedFreqScoringRewrite)
     o["bm25_fuzzy"] = f"""{_BM25_PRELUDE},
 fterms AS (
-  SELECT term FROM dfreq
+  SELECT term, df,
+         CASE WHEN levenshtein(term, 'spark') = 0 THEN 1.0
+              ELSE 1.0 - CAST(levenshtein(term, 'spark') AS DOUBLE)
+                         / least(length(term), length('spark'))
+         END AS fboost
+  FROM dfreq
   WHERE levenshtein(term, 'spark') <= 2
-  ORDER BY df DESC, term ASC LIMIT 50
+  ORDER BY fboost DESC, df DESC, term ASC LIMIT 50
 ),
-fdocs AS (SELECT DISTINCT doc_id FROM tokens WHERE term IN (SELECT term FROM fterms))
-SELECT CAST(row_number() OVER (ORDER BY f.doc_id) AS INT) AS rank,
-       dd.doc_id, dd.conv_id, dd.turn_idx, CAST(1.0 AS DOUBLE) AS score
-FROM fdocs f JOIN docs dd USING (doc_id)
-ORDER BY f.doc_id LIMIT 25"""
+blend AS (SELECT max(df) AS dfb FROM fterms),
+fscore AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - b.dfb + 0.5) / (b.dfb + 0.5)) * tf.tf /
+             (tf.tf + 1.2 * (0.25 + 0.75 * q.dlq / s.avgdl)) * ft.fboost) AS score
+  FROM tf
+  JOIN fterms ft USING (term)
+  CROSS JOIN blend b
+  CROSS JOIN stats s
+  JOIN dl q ON q.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY fs.score DESC, dd.doc_id) AS INT) AS rank,
+       dd.doc_id, dd.conv_id, dd.turn_idx, round(fs.score, 4) AS score
+FROM fscore fs JOIN docs dd USING (doc_id)
+ORDER BY fs.score DESC, dd.doc_id LIMIT 25"""
 
     # WildcardQuery s?a*: ? = one char, * = any run — the same regex in
     # Spark rlike (Java) and DuckDB regexp_matches (RE2); constant-score
@@ -1258,9 +1279,69 @@ pr AS (
 SELECT id_a, id_b, round(cosine, 4) AS cosine
 FROM pr WHERE cosine >= 0.45 ORDER BY id_a, id_b"""
 
-    # embed_ann_ivf: NO oracle by design — the quantizer is iterative
-    # k-means (Lloyd), the one class the contract exempts; the driver
-    # records the rows-only check and pytest gates recall/determinism.
+    # embed_ann_ivf: the quantizer is iterative k-means — not SQL — but
+    # it is DETERMINISTIC (seeded choice over the sorted-id 4096-sample,
+    # fixed Lloyd iterations), so the gate closes by training the
+    # IDENTICAL quantizer here (pyarrow read of the gate-scale parquet,
+    # same float64 ops via ivf_train_arrays) and inlining the trained
+    # centroids as literals — the same trick the LSH oracles use for
+    # their plane constants.  Assignment (argmin of -2·v·c + ‖c‖², ties
+    # → lowest list id, mirroring ivf_assign), nprobe list ranking, and
+    # the exact cosine re-rank are then pure DuckDB.
+    _ivf_gate_pq = os.environ.get(
+        "SPARK_GRAFT_GATE_EMBEDDINGS", "/root/testdata/sf0.01/embeddings.parquet"
+    )
+    if os.path.exists(_ivf_gate_pq):
+        import pyarrow.parquet as _papq
+
+        from emailindexer_spark.operators.similarity import ivf_train_arrays as _ivt
+
+        _epdf = _papq.read_table(_ivf_gate_pq, columns=["vec_id", "embedding"]).to_pandas()
+        _epdf = _epdf.sort_values("vec_id", ignore_index=True).head(4096)
+        _ex = _np.array([_np.asarray(v, dtype=_np.float64) for v in _epdf["embedding"]])
+        _cents = _ivt(_ex, n_lists=16, seed=42, iters=5)
+        _cent_rows = ",\n    ".join(
+            "(" + str(_ci) + ", ["
+            + ", ".join(repr(float(x)) for x in _c)
+            + "], " + repr(float((_c * _c).sum())) + ")"
+            for _ci, _c in enumerate(_cents)
+        )
+        o["embed_ann_ivf"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+c(id, p, cn) AS (VALUES
+    {_cent_rows}),
+asg AS (
+  SELECT vec_id, v, id AS lid FROM (
+    SELECT e.vec_id, e.v, c.id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY (-2 * list_dot_product(e.v, c.p) + c.cn) ASC, c.id ASC
+           ) AS rn
+    FROM e CROSS JOIN c
+  ) WHERE rn = 1
+),
+pr AS (
+  SELECT id FROM (
+    SELECT c.id,
+           row_number() OVER (
+             ORDER BY (c.cn - 2 * list_dot_product(c.p, qv.v)
+                       + list_dot_product(qv.v, qv.v)) ASC, c.id ASC
+           ) AS rn
+    FROM c CROSS JOIN qv
+  ) WHERE rn <= 4
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.v, q.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+FROM asg a CROSS JOIN qv q
+WHERE a.lid IN (SELECT id FROM pr)
+ORDER BY list_dot_product(a.v, q.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v))) DESC,
+         a.vec_id ASC
+LIMIT 10"""
+    # (if the gate-scale parquet is absent the entry stays rows-only,
+    # as before — pytest still gates recall + determinism)
 
     # ---------------- quality ----------------
     _punct = "CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END"

@@ -175,27 +175,33 @@ def main() -> None:
 
     spark = get_spark(app_name="bench-query", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
     qsec: dict[str, float] = {}
+    qjobs: dict[str, int] = {}
     eng = SearchEngine(spark, ix_dir)
     for name, q, k, mode, wand in BENCH_QUERIES:
         for pat, sub in subs.items():
             q = q.replace(pat, sub)
         eng.search(q, k=k, mode=mode, use_wand=wand).collect()  # warm
+        sc.setJobGroup(name, name)
         t0 = time.time()
         eng.search(q, k=k, mode=mode, use_wand=wand).collect()
         qsec[name] = round(time.time() - t0, 3)
+        qjobs[name] = len(sc.statusTracker().getJobIdsForGroup(name))
     # amortized batch throughput: the whole suite as ONE job
     batch = {
         name: (_sub_all(q, subs), k, mode)
         for name, q, k, mode, _w in BENCH_QUERIES
         if name != "or3_wand"
     }
+    sc.setJobGroup("_batch", "_batch")
     t0 = time.time()
     n_hits = eng.search_many(batch, use_wand=False).count()
     batch_sec = time.time() - t0
     qsec["_suite_batched"] = round(batch_sec, 3)
     qsec["_suite_batched_qps"] = round(len(batch) / batch_sec, 2)
     qsec["_suite_batched_hits"] = n_hits
+    qjobs["_suite_batched"] = len(sc.statusTracker().getJobIdsForGroup("_batch"))
     spark.stop()
 
     scaling = {}
@@ -247,13 +253,14 @@ def main() -> None:
                 "turns_per_sec": round(n_turns / t_large, 1),
             },
         }
-        _write_baseline_md(sf, n_turns, t_large, qsec, scaling)
+        _write_baseline_md(sf, n_turns, t_large, qsec, scaling, qjobs)
 
     out = {
         "metric": "index_build_plus_query_suite",
         "value": round(t_large + sum(qsec.values()), 3),
         "unit": "sec",
         "queries": qsec,
+        "query_jobs": qjobs,
         "sf": sf,
         "build": {
             "n_turns": n_turns,
@@ -266,7 +273,7 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _write_baseline_md(sf, n_turns, t_large, qsec, scaling) -> None:
+def _write_baseline_md(sf, n_turns, t_large, qsec, scaling, qjobs=None) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     p = os.path.join(REPO, "BENCH", "BASELINE.md")
     leg = scaling["cpus_leg"]
@@ -296,10 +303,11 @@ def _write_baseline_md(sf, n_turns, t_large, qsec, scaling) -> None:
         "stages that grow with data (tokenize, posting encode, score) "
         "scale near-linearly 2->8.",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "| query | sec | spark jobs |",
+        "|---|---|---|",
     ]
-    lines += [f"| {k} | {v} |" for k, v in qsec.items()]
+    qjobs = qjobs or {}
+    lines += [f"| {k} | {v} | {qjobs.get(k, '')} |" for k, v in qsec.items()]
     lines.append("")
     with open(p, "w") as f:
         f.write("\n".join(lines))

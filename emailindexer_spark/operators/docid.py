@@ -67,7 +67,8 @@ def assign_doc_ids_with_total(
     num_partitions: int | None = None,
     checkpoint_offsets: bool = True,
     pinned: list | None = None,
-    max_broadcast_convs: int = 2_000_000,
+    max_broadcast_convs: int = 250_000,
+    offsets_out: dict | None = None,
 ) -> tuple[DataFrame, int | None]:
     """Like assign_doc_ids, also returning the total row count when the
     two-phase path computes it for free (None for the window path).
@@ -81,18 +82,26 @@ def assign_doc_ids_with_total(
     write does).
 
     Small-conversation-table fast path: when the corpus has ≤
-    ``max_broadcast_convs`` conversations (a capped ``limit().collect``
-    keeps the check bounded at any scale), the (conv, count, density)
-    rows come straight to the driver, the prefix sum runs in Python,
-    and the offsets broadcast-join back.  Verified-dense input (checked
-    for free inside the same aggregation) then takes doc_id =
-    ``conv_offset + turn_idx`` — the per-turn rows are NEVER shuffled
-    or window-sorted; non-dense input ranks within each conversation
-    under the broadcast join.  Above the threshold (10^9+ conversations
-    on a real cluster) the general path engages: range-partitioned
-    per-partition sums, a driver prefix-sum over P values, ONE
-    co-partitioned shuffle join on conv_id + a per-conversation
-    row_number window in the same partitioning.
+    ``max_broadcast_convs`` conversations (a capped Arrow ``toPandas``
+    keeps the check bounded at any scale — 250k conv rows is a few MB
+    of driver heap, and every realistic small corpus fits), the (conv,
+    count, density) rows come straight to the driver, the prefix sum
+    runs in numpy, and the offsets broadcast-join back.  Verified-dense
+    input (checked for free inside the same aggregation) then takes
+    doc_id = ``conv_offset + turn_idx`` — the per-turn rows are NEVER
+    shuffled or window-sorted; non-dense input ranks within each
+    conversation under the broadcast join.  Above the threshold the
+    general path engages: range-partitioned per-partition sums, a
+    driver prefix-sum over P values, ONE co-partitioned shuffle join on
+    conv_id + a per-conversation row_number window in the same
+    partitioning.
+
+    ``offsets_out``: when given a dict and the fast path runs, it is
+    filled with ``conv_ids`` (sorted numpy object array), ``offsets``
+    / ``n_turns`` (int64 arrays), ``dense`` and ``total`` — the caller
+    (the index builder) persists these as the ``conv_offsets`` artifact
+    so the query engine can map doc_id → (conv_id, turn_idx) with a
+    broadcast searchsorted instead of a doc_stats join.
     """
     if method == "window":
         w = Window.orderBy(*ORDER_COLS)
@@ -120,20 +129,37 @@ def assign_doc_ids_with_total(
     # conv_counts is persisted so the at-scale path reuses the one
     # aggregation instead of recomputing it.
     cc = conv_counts.persist()
-    head = cc.limit(max_broadcast_convs + 1).collect()
+    head = cc.limit(max_broadcast_convs + 1).toPandas()  # Arrow transfer
     if len(head) <= max_broadcast_convs:
         cc.unpersist(blocking=False)
+        if head["conv_id"].isna().any():
+            # a null conv_id would silently vanish in the offsets join
+            # (inner join on null never matches) — fail loudly instead
+            raise ValueError("null conv_id in transcripts: every row needs a conv_id")
         # Python str sort == Spark UTF8 binary order (UTF-8 byte order
         # preserves code-point order), so these offsets match the
         # distributed range-partitioned cumsum exactly
-        head.sort(key=lambda r: r["conv_id"])
-        dense = all(int(r["_sparse"] or 0) == 0 for r in head)
-        acc = 0
-        offs = []
-        for r in head:
-            offs.append((r["conv_id"], acc))
-            acc += int(r["n_turns"])
-        offsets = spark.createDataFrame(offs, "conv_id string, conv_offset long")
+        head = head.sort_values("conv_id", kind="stable", ignore_index=True)
+        dense = not head["_sparse"].fillna(0).astype(np.int64).any()
+        n = head["n_turns"].to_numpy(dtype=np.int64)
+        offs_np = (
+            np.concatenate(([0], np.cumsum(n[:-1])))
+            if n.size
+            else np.array([], dtype=np.int64)
+        )
+        acc = int(n.sum())
+        if offsets_out is not None:
+            offsets_out.update(
+                conv_ids=head["conv_id"].to_numpy(),
+                offsets=offs_np,
+                n_turns=n,
+                dense=bool(dense),
+                total=acc,
+            )
+        offsets = spark.createDataFrame(
+            pd.DataFrame({"conv_id": head["conv_id"], "conv_offset": offs_np}),
+            "conv_id string, conv_offset long",
+        )
         if dense:
             out = df.join(F.broadcast(offsets), "conv_id").withColumn(
                 "doc_id", (F.col("conv_offset") + F.col("turn_idx")).cast("long")

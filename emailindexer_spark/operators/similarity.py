@@ -171,6 +171,16 @@ def ivf_train(
         .collect()
     )
     x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    return ivf_train_arrays(x, n_lists=n_lists, seed=seed, iters=iters)
+
+
+def ivf_train_arrays(
+    x: np.ndarray, n_lists: int = 16, seed: int = 42, iters: int = 5
+) -> np.ndarray:
+    """The numpy Lloyd core of :func:`ivf_train`, callable on a raw
+    (sample, dim) float64 matrix — the oracle generator feeds it the
+    SAME deterministic sample read via pyarrow (no Spark) and inlines
+    the identical trained centroids as SQL literals."""
     rng = np.random.default_rng(seed)
     n_lists = min(n_lists, len(x))
     cents = x[rng.choice(len(x), size=n_lists, replace=False)].copy()

@@ -13,11 +13,13 @@ the Lucene 9.1 semantics the reference relies on (SURVEY.md §2.9):
   phrase idf = sum of constituent idfs (Lucene PhraseWeight); sloppy
   phrase ``"a b"~k`` = the engine's documented exact-order greedy-chain
   semantics (plans/parser.py Phrase.slop),
-* prefix / wildcard / fuzzy / range = constant-score 1.0*boost for docs
+* prefix / wildcard / range = constant-score 1.0*boost for docs
   matching any expansion (multi-term CONSTANT_SCORE rewrite; reference's
-  own test queries ``t*`` — EmailDatasetIntegrationTests.java:52,74;
-  fuzzy expansion = classic Levenshtein over the vocabulary, top
-  MAX_FUZZY_EXPANSIONS by df),
+  own test queries ``t*`` — EmailDatasetIntegrationTests.java:52,74),
+* fuzzy = Lucene's default TopTermsBlendedFreqScoringRewrite: classic-
+  Levenshtein expansion over the vocabulary, per-term boost
+  1 - ed/min(|cand|, |query|), top MAX_FUZZY_EXPANSIONS by boost/df/term,
+  BM25-scored with df blended to the selected terms' max,
 * top-k sort: score desc, docID asc (Lucene tie-break),
 * conversation collapse = first-occurrence dedup of hits by conv_id in
   score order (reference root-id dedup, EmailIndexSearcher.java:58-71).
@@ -214,21 +216,32 @@ def _score_leaf(ix: OracleIndex, node: Node) -> dict[int, float]:
                 out[d] = out.get(d, 0.0) + 1.0 * node.boost
         return out
     if isinstance(node, Fuzzy):
-        # FuzzyQuery: vocab expansion by classic Levenshtein, capped at
-        # MAX_FUZZY_EXPANSIONS by df desc / term asc, constant score
+        # FuzzyQuery, Lucene's default TopTermsBlendedFreqScoringRewrite:
+        # vocab expansion by classic Levenshtein, per-term boost
+        # 1 - ed/min(|candidate|, |query|) (FuzzyTermsEnum), top
+        # MAX_FUZZY_EXPANSIONS by boost desc / df desc / term asc, each
+        # expansion scored as a BM25 TermQuery whose df is BLENDED to
+        # the max df across the selected terms, SHOULD-summed.
         for f in _fields_for(ix, node.field):
-            hits = [
-                (k, bare)
-                for k, bare in _field_vocab(ix, f)
-                if abs(len(bare) - len(node.text)) <= node.max_edits
-                and _levenshtein(bare, node.text) <= node.max_edits
-            ]
-            hits.sort(key=lambda kb: (-len(ix.postings[kb[0]]), kb[0]))
-            docs: set[int] = set()
-            for k, _bare in hits[:MAX_FUZZY_EXPANSIONS]:
-                docs.update(ix.postings[k])
-            for d in docs:
-                out[d] = out.get(d, 0.0) + 1.0 * node.boost
+            hits = []
+            for k, bare in _field_vocab(ix, f):
+                if abs(len(bare) - len(node.text)) > node.max_edits:
+                    continue
+                ed = _levenshtein(bare, node.text)
+                if ed > node.max_edits:
+                    continue
+                fb = 1.0 if ed == 0 else 1.0 - ed / min(len(bare), len(node.text))
+                hits.append((k, fb))
+            hits.sort(key=lambda kb: (-kb[1], -len(ix.postings[kb[0]]), kb[0]))
+            sel = hits[:MAX_FUZZY_EXPANSIONS]
+            if not sel:
+                continue
+            n_f = ix.field_stats[f][0]
+            df_blend = max(len(ix.postings[k]) for k, _fb in sel)
+            iv = float(_idf(df_blend, n_f))
+            for k, fb in sel:
+                for d, tf in ix.postings[k].items():
+                    out[d] = out.get(d, 0.0) + node.boost * fb * _bm25(ix, f, tf, d, iv)
         return out
     if isinstance(node, Wildcard):
         import re as _re

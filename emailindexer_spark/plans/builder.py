@@ -57,6 +57,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Iterator
 
@@ -386,8 +387,13 @@ class IndexBuilder:
             if self.validate:
                 validate_transcripts(df)
             pins: list = []
+            offsets_out: dict = {}
             df, _n_total = assign_doc_ids_with_total(
-                df, method=self.docid_method, checkpoint_offsets=False, pinned=pins
+                df,
+                method=self.docid_method,
+                checkpoint_offsets=False,
+                pinned=pins,
+                offsets_out=offsets_out,
             )
             if self.sanitize:
                 clean = F.pandas_udf(remove_quoted_replies, "string")
@@ -443,6 +449,32 @@ class IndexBuilder:
                 },
             )
             man.commit_stage("doc_index", seconds=round(time.time() - t0, 2))
+            # conv_offsets artifact (docid fast path only, dense input):
+            # the sorted (conv_id, conv_offset, n_turns) table the query
+            # engine broadcast-searchsorteds to map doc_id → (conv_id,
+            # turn_idx) WITHOUT a doc_stats join.  The arrays are already
+            # on the driver — written via pyarrow, zero Spark jobs, no
+            # build-time barrier.  Distributed-path / non-dense builds
+            # skip it; the engine falls back to the doc_stats join.
+            if offsets_out.get("dense"):
+                import pyarrow as pa
+                import pyarrow.parquet as papq
+
+                cdir = man.stage_path("conv_offsets")
+                os.makedirs(cdir, exist_ok=True)
+                papq.write_table(
+                    pa.table(
+                        {
+                            "conv_id": pa.array(
+                                list(offsets_out["conv_ids"]), type=pa.string()
+                            ),
+                            "conv_offset": offsets_out["offsets"],
+                            "n_turns": offsets_out["n_turns"],
+                        }
+                    ),
+                    os.path.join(cdir, "part-00000.parquet"),
+                )
+                man.commit_stage("conv_offsets", n_convs=len(offsets_out["conv_ids"]))
         doc_index = self.spark.read.parquet(man.stage_path("doc_index"))
 
         # ---------------------------------------------------- doc_stats

@@ -65,14 +65,19 @@ class Phrase(Node):
 @dataclass
 class Fuzzy(Node):
     """Lucene FuzzyQuery (``term~``, ``term~1``, ``term~2``): expands to
-    vocabulary terms within Levenshtein edit distance ``max_edits``
-    (classic Levenshtein — no transposition credit — so Spark
-    ``levenshtein()`` and DuckDB ``levenshtein()`` agree), capped at
-    ``MAX_FUZZY_EXPANSIONS`` terms by descending df (term asc tie-break),
-    then CONSTANT-SCORE rewritten like Prefix.  Lucene's default rewrite
-    blends per-term scores (TopTermsBlendedFreqScoringRewrite); the
-    constant-score rewrite is Lucene's own documented alternative —
-    divergence recorded in SURVEY.md §2.9."""
+    vocabulary terms within Levenshtein edit distance ``max_edits``,
+    capped at ``MAX_FUZZY_EXPANSIONS`` terms by similarity-boost desc /
+    df desc / term asc, then scored with Lucene's DEFAULT rewrite
+    (TopTermsBlendedFreqScoringRewrite): each expansion is a BM25
+    TermQuery with boost ``1 - ed/min(|cand|, |query|)`` and df blended
+    to the selected terms' max, SHOULD-summed.  One documented
+    divergence remains (SURVEY.md §2.9): the distance is CLASSIC
+    Levenshtein — no adjacent-transposition credit — so Spark
+    ``levenshtein()`` and DuckDB ``levenshtein()`` reproduce the
+    expansion exactly; Lucene's automaton defaults to transpositions=
+    true (OSA).  The engine ships the OSA primitive
+    (plans/planner._levenshtein_batch(transpositions=True)) but gates
+    on the SQL-verifiable classic metric."""
 
     text: str = ""
     max_edits: int = 2

@@ -149,21 +149,36 @@ BATCH_ROW_SCHEMA = (
 )
 
 
+#: cap on the dense (rows × n_queries) temporaries inside the batch
+#: kernel: partitions are processed in doc-group-aligned chunks of at
+#: most ~this many matrix cells, so executor memory is bounded by the
+#: chunk, not by (partition rows × batch size)
+KERNEL_MAX_CELLS = 8_000_000
+
+
 def _shared_batch_kernel(
     clause_rows: list[tuple[str, str, float, bool, bool]],
     cfg_rows: list[tuple[str, int, bool, int, float]],
+    off_bc=None,
 ):
     """Vectorized multi-query scoring over ONE doc_id-clustered pass of
-    the shared (term, doc_id, score, conv_id, turn_idx) stream.
+    the shared (term, doc_id, score) stream.
 
     The per-query fan-out lives in term-indexed matrices (boost /
-    scoring-membership / must / not, each vocab×Q), applied to the
-    whole partition at once: per-doc per-query aggregates are
-    ``np.add.reduceat`` over the doc-sorted rows.  Each query's boolean
-    filters (all musts, no nots, ≥1 scoring hit) and a per-partition
-    prune (top-k for turns mode, best-per-conv for conversations mode —
-    both supersets of the global winners) run here too, so the only
-    remaining exchange carries k·P-ish rows per query."""
+    scoring-membership / must / not, each vocab×Q), applied chunk by
+    chunk: per-doc per-query aggregates are ``np.add.reduceat`` over
+    the doc-sorted rows.  Chunks are cut at doc-group boundaries and
+    bounded to KERNEL_MAX_CELLS dense cells, so a large batch over a
+    heavy-term partition cannot OOM an executor; per-chunk prunes
+    (top-k / best-per-conv) are supersets of the global winners, and
+    the finalize stage reprunes exactly.  Each query's boolean filters
+    (all musts, no nots, ≥1 scoring hit) run here too, so the only
+    remaining exchange carries k·P-ish rows per query.
+
+    ``off_bc`` (broadcast of the conv_offsets arrays) attaches
+    (conv_id, turn_idx) by searchsorted on the dense doc_id space —
+    when None the input rows must already carry those columns (the
+    doc_stats-join fallback for non-dense indexes)."""
     qids = [r[0] for r in cfg_rows]
     nq = len(qids)
     ks = [int(r[1]) for r in cfg_rows]
@@ -202,43 +217,69 @@ def _shared_batch_kernel(
         docs = pdf["doc_id"].to_numpy(np.int64)
         starts = np.concatenate(([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1))
         tok_scores = pdf["score"].to_numpy(np.float64)
-        score_d = np.add.reduceat(tok_scores[:, None] * B[codes], starts, axis=0)
-        hits_d = np.add.reduceat(S[codes], starts, axis=0)
-        must_d = np.add.reduceat(M[codes], starts, axis=0)
-        not_d = np.add.reduceat(N[codes], starts, axis=0)
-        gdoc = docs[starts]
-        gconv = pdf["conv_id"].to_numpy()[starts]
-        gturn = pdf["turn_idx"].to_numpy(np.int32)[starts]
+        if off_bc is not None:
+            conv_ids_arr, offs_arr = off_bc.value
+            conv_all = turn_all = None
+        else:
+            conv_all = pdf["conv_id"].to_numpy()
+            turn_all = pdf["turn_idx"].to_numpy(np.int32)
+        max_rows = max(4096, KERNEL_MAX_CELLS // max(1, nq))
+        n_groups = starts.size
+        total = docs.size
         outs = []
-        for qi, qid in enumerate(qids):
-            ok = (
-                (not_d[:, qi] == 0)
-                & (hits_d[:, qi] > 0)
-                & (must_d[:, qi] == n_musts[qi])
+        g0 = 0
+        while g0 < n_groups:
+            g1 = int(np.searchsorted(starts, int(starts[g0]) + max_rows, side="left"))
+            if g1 <= g0:
+                g1 = g0 + 1  # one doc group larger than the chunk bound
+            lo = int(starts[g0])
+            hi = int(starts[g1]) if g1 < n_groups else total
+            cstarts = starts[g0:g1] - lo
+            ccodes = codes[lo:hi]
+            score_d = np.add.reduceat(
+                tok_scores[lo:hi, None] * B[ccodes], cstarts, axis=0
             )
-            if not ok.any():
-                continue
-            sc = score_d[ok, qi] * qboosts[qi]
-            d, cv, ti = gdoc[ok], gconv[ok], gturn[ok]
-            order = np.lexsort((d, -sc))  # score desc, doc asc
-            if conv_mode[qi]:
-                cv_sorted = pd.Series(cv[order])
-                keep = order[~cv_sorted.duplicated().to_numpy()]
+            hits_d = np.add.reduceat(S[ccodes], cstarts, axis=0)
+            must_d = np.add.reduceat(M[ccodes], cstarts, axis=0)
+            not_d = np.add.reduceat(N[ccodes], cstarts, axis=0)
+            gdoc = docs[starts[g0:g1]]
+            if off_bc is not None:
+                oi = np.searchsorted(offs_arr, gdoc, side="right") - 1
+                gconv = conv_ids_arr[oi]
+                gturn = (gdoc - offs_arr[oi]).astype(np.int32)
             else:
-                keep = order[: ks[qi]]
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "doc_id": d[keep],
-                        "score": sc[keep],
-                        "conv_id": cv[keep],
-                        "turn_idx": ti[keep],
-                        "conv": conv_mode[qi],
-                        "k": np.int32(ks[qi]),
-                    }
+                gconv = conv_all[starts[g0:g1]]
+                gturn = turn_all[starts[g0:g1]]
+            for qi, qid in enumerate(qids):
+                ok = (
+                    (not_d[:, qi] == 0)
+                    & (hits_d[:, qi] > 0)
+                    & (must_d[:, qi] == n_musts[qi])
                 )
-            )
+                if not ok.any():
+                    continue
+                sc = score_d[ok, qi] * qboosts[qi]
+                d, cv, ti = gdoc[ok], gconv[ok], gturn[ok]
+                order = np.lexsort((d, -sc))  # score desc, doc asc
+                if conv_mode[qi]:
+                    cv_sorted = pd.Series(cv[order])
+                    keep = order[~cv_sorted.duplicated().to_numpy()]
+                else:
+                    keep = order[: ks[qi]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "doc_id": d[keep],
+                            "score": sc[keep],
+                            "conv_id": cv[keep],
+                            "turn_idx": ti[keep],
+                            "conv": conv_mode[qi],
+                            "k": np.int32(ks[qi]),
+                        }
+                    )
+                )
+            g0 = g1
         if outs:
             yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 
@@ -532,6 +573,60 @@ def _phrase_match_positions(m: int, idf_sum: float, avgdl: float, slop: int = 0)
     return gen
 
 
+def _codes_matrix(strs, lens: np.ndarray) -> np.ndarray:
+    """(N, max_len) code-point matrix for a sequence of strings —
+    scatter-filled from one UTF-32 decode, no per-row Python loop."""
+    n = len(lens)
+    L = int(lens.max()) if n else 0
+    M = np.zeros((n, L), dtype=np.uint32)
+    if n and L:
+        allc = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        M[np.repeat(np.arange(n), lens), np.arange(lens.sum()) - np.repeat(starts, lens)] = allc
+    return M
+
+
+def _levenshtein_batch(cands, text: str, transpositions: bool = False) -> np.ndarray:
+    """Edit distance from ``text`` to each candidate, vectorized across
+    candidates (DP rows are (N, L+1) arrays; the insertion recurrence's
+    sequential dependency along j is resolved by the classic
+    prefix-min-with-slope trick: cur[j] = min(t[j], cur[j-1]+1) ⇔
+    (cur[j]-j) = running-min of (t[j]-j)).
+
+    ``transpositions=True`` adds the adjacent-transposition edit
+    (optimal string alignment / restricted Damerau-Levenshtein — the
+    same primitive Lucene's FuzzyQuery automaton applies with its
+    default ``transpositions=true``)."""
+    n = len(cands)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    lens = np.fromiter((len(t) for t in cands), dtype=np.int64, count=n)
+    M = _codes_matrix(cands, lens)
+    L = M.shape[1]
+    tc = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    m = len(tc)
+    jj = np.arange(L + 1, dtype=np.int32)
+    prev2 = None  # D[i-2] row (transpositions)
+    prev = np.broadcast_to(jj, (n, L + 1)).astype(np.int32)  # D[0][j] = j
+    for i in range(1, m + 1):
+        sub = prev[:, :-1] + (M != tc[i - 1])  # substitution/match
+        t = np.minimum(prev[:, 1:] + 1, sub)  # deletion (of text char) branch
+        if transpositions and i >= 2:
+            # text[i-2:i] matched swapped against cand[j-2:j]
+            swap = (M[:, 1:] == tc[i - 2]) & (M[:, :-1] == tc[i - 1])
+            t[:, 1:] = np.where(swap, np.minimum(t[:, 1:], prev2[:, :-2] + 1), t[:, 1:])
+        cur = np.empty_like(prev)
+        e = np.minimum.accumulate(
+            np.concatenate(
+                [np.full((n, 1), i, dtype=np.int32), t - jj[1:]], axis=1
+            ),
+            axis=1,
+        )
+        cur[:] = e + jj
+        prev2, prev = prev, cur
+    return prev[np.arange(n), lens].astype(np.int32)
+
+
 def _flatten_shoulds(ast: Node) -> Node:
     """Inline unit-boost pure-SHOULD child Bools into their parent (one
     level — field resolution creates at most one).  Score-preserving:
@@ -556,12 +651,23 @@ def _flatten_shoulds(ast: Node) -> Node:
 class SearchEngine:
     """Query engine over an index directory built by plans/builder.py."""
 
+    #: driver-side term-dictionary cap: Lucene keeps its terms dict in
+    #: memory per segment; we mirror that for BOUNDED vocabularies (5M
+    #: rows ≈ low hundreds of MB of driver heap).  Above the cap every
+    #: stat/expansion lookup falls back to vocab-scale Spark jobs.
+    VOCAB_DRIVER_MAX_ROWS = 5_000_000
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
         self.man = Manifest.load_or_create(index_dir)
         if "n_docs" not in self.man.stats:
             raise ValueError(f"{index_dir} has no completed build")
+        # heal a compact crashed mid-swap (postings renamed away but the
+        # new dir not yet moved in) BEFORE touching the postings dir
+        from emailindexer_spark.streaming.compact import _repair_partial
+
+        _repair_partial(self.man)
         self.num_parts = int(self.man.params.get("num_parts", 32))
         self.simple = bool(self.man.params.get("simple_tokens", False))
         self.positions = bool(self.man.params.get("positions", False))
@@ -594,6 +700,125 @@ class SearchEngine:
         # memory too): terms resolve once per engine instance; None
         # marks a term known to be absent from the index
         self._df_cache: dict[str, int | None] = {}
+        # lazily-loaded driver-side term dictionary (sorted terms, dfs,
+        # parts) — makes df lookups and prefix/range/wildcard/fuzzy
+        # expansion ZERO-Spark-job operations for bounded vocabularies
+        self._vocab: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        self._vocab_tried = False
+        self._vocab_lens: np.ndarray | None = None
+        self._vocab_colon: np.ndarray | None = None
+        # conv_offsets artifact (dense-docid builds): broadcast (sorted
+        # conv_id array, conv_offset array) maps doc_id → (conv_id,
+        # turn_idx) with a searchsorted — no doc_stats join per query
+        self._off_bc = None
+        self._load_conv_offsets()
+
+    def _load_conv_offsets(self) -> None:
+        import glob
+
+        co_dir = os.path.join(self.index_dir, "conv_offsets")
+        files = sorted(glob.glob(os.path.join(co_dir, "*.parquet")))
+        if not files:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        t = pa.concat_tables([papq.read_table(f) for f in files])
+        offs = t.column("conv_offset").to_numpy().astype(np.int64)
+        n_turns = t.column("n_turns").to_numpy().astype(np.int64)
+        # stale-artifact guard: the offsets must tile [0, n_rows) exactly
+        # (an append would extend the doc space; the append path deletes
+        # the artifact, but reject a mismatch regardless)
+        if offs.size == 0 or int(offs[-1] + n_turns[-1]) != self.n_rows:
+            return
+        conv_ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        self._off_bc = self.spark.sparkContext.broadcast((conv_ids, offs))
+
+    def _driver_vocab(self) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """(sorted terms, df, part) arrays, or None when the vocabulary
+        exceeds VOCAB_DRIVER_MAX_ROWS (Spark-job fallbacks engage)."""
+        if self._vocab_tried:
+            return self._vocab
+        self._vocab_tried = True
+        import glob
+
+        td_path = os.path.join(self.index_dir, "term_dict")
+        files = sorted(glob.glob(os.path.join(td_path, "*.parquet")))
+        if not files:
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        nrows = 0
+        for f in files:
+            nrows += papq.ParquetFile(f).metadata.num_rows
+            if nrows > self.VOCAB_DRIVER_MAX_ROWS:
+                return None
+        pdf = pa.concat_tables([papq.read_table(f) for f in files]).to_pandas()
+        # duplicates per (term) possible across parts=... no — part is a
+        # pure function of term; duplicates come from ingest-batch delta
+        # files: sum df per term.  sort=True gives Python str order ==
+        # Spark UTF8 binary order (code-point order).
+        g = pdf.groupby("term", sort=True).agg(df=("df", "sum"), part=("part", "first"))
+        self._vocab = (
+            g.index.to_numpy(dtype=object),
+            g["df"].to_numpy(np.int64),
+            g["part"].to_numpy(np.int32),
+        )
+        return self._vocab
+
+    def _vocab_aux(self) -> tuple[np.ndarray, np.ndarray]:
+        """(per-term length, per-term contains-colon) masks, computed
+        once — the fuzzy length band and default-field scoping."""
+        terms = self._vocab[0]
+        if self._vocab_lens is None:
+            self._vocab_lens = np.fromiter(
+                (len(t) for t in terms), dtype=np.int32, count=len(terms)
+            )
+            self._vocab_colon = np.fromiter(
+                ((":" in t) for t in terms), dtype=bool, count=len(terms)
+            )
+        return self._vocab_lens, self._vocab_colon
+
+    #: largest assigned code point — ``prefix + _MAXCH`` upper-bounds
+    #: every string with that prefix under code-point (== UTF8 binary)
+    #: ordering
+    _MAXCH = "\U0010ffff"
+
+    def _vocab_slice(
+        self,
+        lo: str | None,
+        hi: str | None,
+        lo_incl: bool = True,
+        hi_incl: bool = False,
+    ) -> tuple[int, int]:
+        """[i0, i1) indices of the sorted driver vocab within the key
+        range — the binary-search analogue of term_dict row-group
+        pruning."""
+        terms = self._vocab[0]
+        i0 = (
+            int(np.searchsorted(terms, lo, side="left" if lo_incl else "right"))
+            if lo is not None
+            else 0
+        )
+        i1 = (
+            int(np.searchsorted(terms, hi, side="right" if hi_incl else "left"))
+            if hi is not None
+            else int(terms.size)
+        )
+        return i0, max(i0, i1)
+
+    def _expand_sel_to_parts(self, sel: np.ndarray) -> list[int]:
+        return sorted({int(p) for p in self._vocab[2][sel]})
+
+    def _default_scope_sel(self, i0: int, i1: int, field: str) -> np.ndarray:
+        """Vocab indices [i0, i1) minus other-field ``f:term`` keys when
+        expanding in the default field (mirrors the Spark-side
+        ``~contains(':')`` scope predicate)."""
+        if field == self.fields[0]:
+            _, colon = self._vocab_aux()
+            return np.nonzero(~colon[i0:i1])[0] + i0
+        return np.arange(i0, i1)
 
     @property
     def doc_index(self) -> DataFrame:
@@ -629,6 +854,17 @@ class SearchEngine:
         """
         missing = {t for t in terms if t not in self._df_cache}
         if missing:
+            vocab = self._driver_vocab()
+            if vocab is not None:
+                vt, vdf, _ = vocab
+                for t in missing:
+                    i = int(np.searchsorted(vt, t))
+                    self._df_cache[t] = (
+                        int(vdf[i]) if i < vt.size and vt[i] == t else None
+                    )
+                return {
+                    t: v for t in terms if (v := self._df_cache.get(t)) is not None
+                }
             if self.term_dict is not None:
                 src = self.term_dict.where(F.col("term").isin(sorted(missing)))
             else:  # pre-term_dict index layout
@@ -644,14 +880,30 @@ class SearchEngine:
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], SCORE_SCHEMA)
 
+    #: target scored rows per reduce partition on the serving path
+    SERVE_ROWS_PER_PART = 50_000
+
+    def _serve_parts(self, est_rows: int) -> int:
+        """Shuffle width for a query's candidate-sized exchanges, from
+        the DRIVER-KNOWN df statistics: a 10-hit rare-term query gets 4
+        reduce partitions (latency: one task wave), a 10^9-df term at
+        cluster scale gets the session's full shuffle width.  The
+        session conf stays untouched — width rides each exchange via an
+        explicit hash repartition, which Catalyst recognizes as
+        satisfying the downstream aggregation's clustering."""
+        cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return max(4, min(cap, -(-est_rows // self.SERVE_ROWS_PER_PART)))
+
     def _docs_for_terms(self, terms: set[str]) -> DataFrame:
         """doc_ids matching ANY of ``terms`` — no tf/norm decode, no
         scoring.  The MUST_NOT path: an excluded (typically heavy) term
         needs membership only, so skip ~2/3 of its payload IO and all
         the BM25 math."""
-        return self._rows_for_terms(terms, self.DOCS_COLS).mapInPandas(
-            _decode_docs_only(), "doc_id long"
+        self.term_dfs(terms)  # warm the df cache for the spread decision
+        rows = self._spread_posting_rows(
+            self._rows_for_terms(terms, self.DOCS_COLS), terms
         )
+        return rows.mapInPandas(_decode_docs_only(), "doc_id long")
 
     # ------------------------------------------------------------ field routing
 
@@ -736,6 +988,20 @@ class SearchEngine:
 
     # ------------------------------------------------------------ leaf scoring
 
+    def _spread_posting_rows(self, rows: DataFrame, terms: set[str]) -> DataFrame:
+        """Parallelize heavy-term decode: one md5-part's file(s) hold a
+        heavy term's skew-split rows in few scan tasks, so the Python
+        decode would serialize.  When the DRIVER-KNOWN summed df says
+        the decode is the bottleneck, round-robin the ENCODED rows (a
+        compressed-payload shuffle ~1% of the decoded volume) so each
+        ≤split_target row decodes in its own task.  Cheap no-op for
+        rare terms."""
+        est = sum(self._df_cache.get(t) or 0 for t in terms)
+        if est > 2 * self.SERVE_ROWS_PER_PART:
+            cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            rows = rows.repartition(min(cap, est // self.SERVE_ROWS_PER_PART))
+        return rows
+
     def _scored_terms_df(
         self,
         terms: set[str],
@@ -743,7 +1009,10 @@ class SearchEngine:
         avgdl_map: dict[str, float] | None = None,
         cand_docs=None,
     ) -> DataFrame:
-        return self._rows_for_terms(terms, self.SCORE_COLS).mapInPandas(
+        rows = self._spread_posting_rows(
+            self._rows_for_terms(terms, self.SCORE_COLS), terms
+        )
+        return rows.mapInPandas(
             _decode_score_rows(idf_map, self.avgdl, avgdl_map, cand_docs),
             TERM_SCORE_SCHEMA,
         )
@@ -768,21 +1037,26 @@ class SearchEngine:
         ids = self._docs_for_terms({min_t}).toPandas()["doc_id"].to_numpy(np.int64)
         return self.spark.sparkContext.broadcast(np.sort(ids))
 
-    def _constant_score_docs(self, pred, field: str, boost: float) -> DataFrame | None:
-        """Multi-term constant-score rewrite (Prefix/TermRange): expand
-        the predicate against the sorted term dictionary (vocab-scale
-        scan, row-group pruned by the sorted `term` min/max), then prune
-        postings PARTITIONS like any term query — the P-bounded part
-        list is the only driver round-trip."""
+    def _constant_score_docs(
+        self, pred, field: str, boost: float, parts: list[int] | None = None
+    ) -> DataFrame | None:
+        """Multi-term constant-score rewrite (Prefix/TermRange/Wildcard):
+        prune postings PARTITIONS to the expansion's md5-part list, then
+        push the term predicate into the scan.  ``parts`` comes from the
+        driver-side vocabulary when loaded (zero Spark jobs — an empty
+        list means the expansion matched nothing); otherwise one
+        vocab-scale term_dict job computes it (row-group pruned by the
+        sorted `term` min/max)."""
         if field == self.fields[0]:
             # bare keys only: a default-field expansion must not match
             # another field's `field:term` keys
             pred = pred & ~F.col("term").contains(":")
-        if self.term_dict is not None:
+        if parts is None and self.term_dict is not None:
             parts = [
                 r["part"]
                 for r in self.term_dict.where(pred).select("part").distinct().collect()
             ]
+        if parts is not None:
             if not parts:
                 return None
             prows = self.postings.where(F.col("part").isin(sorted(parts)) & pred)
@@ -795,19 +1069,54 @@ class SearchEngine:
         )
         return docs.withColumn("score", F.lit(1.0 * boost))
 
+    @staticmethod
+    def _fuzzy_boost(bare: str, text: str, ed: int) -> float:
+        """Lucene FuzzyTermsEnum similarity: 1 - ed/min(|cand|, |query|)
+        in code points (exact match → 1.0)."""
+        return 1.0 if ed == 0 else 1.0 - ed / min(len(bare), len(text))
+
     def _fuzzy_expand(
         self, text: str, field: str, max_edits: int, max_expansions: int = MAX_FUZZY_EXPANSIONS
-    ) -> list[str]:
+    ) -> list[tuple[str, int]]:
         """FuzzyQuery expansion against the sorted term dictionary:
-        vocabulary keys of ``field`` within Levenshtein distance
-        ``max_edits`` of ``text`` (length-band pre-filter, then
-        ``F.levenshtein`` — classic Levenshtein, same function DuckDB
-        exposes, so oracles reproduce the expansion exactly).  Capped at
-        ``max_expansions`` terms by df desc / term asc (Lucene
-        FuzzyQuery maxExpansions=50); the scan is vocab-scale, never
-        postings-scale — Lucene walks its terms dict with a Levenshtein
-        automaton in the same place."""
+        (key, edit distance) pairs of ``field`` vocabulary keys within
+        Levenshtein distance ``max_edits`` of ``text`` (length-band
+        pre-filter, then classic Levenshtein — the same function Spark
+        and DuckDB ``levenshtein()`` compute, so oracles reproduce the
+        expansion exactly).  Capped at ``max_expansions`` terms by
+        similarity-boost desc / df desc / term asc (Lucene's
+        TopTermsRewrite priority, maxExpansions=50); the scan is
+        vocab-scale, never postings-scale — Lucene walks its terms dict
+        with a Levenshtein automaton in the same place.  With the
+        driver vocab loaded the whole expansion is a zero-job numpy
+        pass (length band → vectorized DP → top-N)."""
         pref = "" if field == self.fields[0] else field + ":"
+        if self._driver_vocab() is not None:
+            terms = self._vocab[0]
+            dfs = self._vocab[1]
+            lens, _ = self._vocab_aux()
+            if pref:
+                i0, i1 = self._vocab_slice(pref, pref + self._MAXCH, True, True)
+                sel = np.arange(i0, i1)
+            else:
+                sel = self._default_scope_sel(0, terms.size, field)
+            band = sel[np.abs(lens[sel] - len(pref) - len(text)) <= max_edits]
+            if band.size == 0:
+                return []
+            bare = [terms[i][len(pref):] for i in band] if pref else list(terms[band])
+            d = _levenshtein_batch(bare, text)
+            keep = d <= max_edits
+            hit = band[keep]
+            eds = {int(i): int(e) for i, e in zip(hit, d[keep])}
+            ranked = sorted(
+                hit.tolist(),
+                key=lambda i: (
+                    -self._fuzzy_boost(terms[i][len(pref):], text, eds[i]),
+                    -int(dfs[i]),
+                    terms[i],
+                ),
+            )
+            return [(terms[i], eds[i]) for i in ranked[:max_expansions]]
         src = self.term_dict
         if src is None:  # pre-term_dict index layout: derive vocab from postings
             src = self.postings.groupBy("term").agg(F.sum("df_row").alias("df"))
@@ -829,12 +1138,20 @@ class SearchEngine:
         rows = (
             src.where(pred)
             .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(max_expansions)
+            .agg(F.sum("df").alias("df"), F.min(F.levenshtein(bare, F.lit(text))).alias("ed"))
             .collect()
         )
-        return [r["term"] for r in rows]
+        scored = [
+            (r["term"], int(r["ed"]), int(r["df"])) for r in rows
+        ]
+        scored.sort(
+            key=lambda t: (
+                -self._fuzzy_boost(t[0][len(pref):], text, t[1]),
+                -t[2],
+                t[0],
+            )
+        )
+        return [(t, e) for t, e, _df in scored[:max_expansions]]
 
     def _leaf_df(
         self,
@@ -849,15 +1166,52 @@ class SearchEngine:
             return df.withColumn("score", F.col("score") * F.lit(node.boost))
         if isinstance(node, Prefix):
             f = node.field or self.fields[0]
-            pred = F.col("term").startswith(self._key(f, node.prefix))
-            return self._constant_score_docs(pred, f, node.boost)
+            key = self._key(f, node.prefix)
+            pred = F.col("term").startswith(key)
+            parts = None
+            if self._driver_vocab() is not None:
+                # zero-job expansion: binary-search the driver vocab for
+                # the prefix range, emit its md5-part list
+                i0, i1 = self._vocab_slice(key, key + self._MAXCH, True, True)
+                parts = self._expand_sel_to_parts(self._default_scope_sel(i0, i1, f))
+            return self._constant_score_docs(pred, f, node.boost, parts=parts)
         if isinstance(node, Fuzzy):
+            # Lucene's default TopTermsBlendedFreqScoringRewrite: every
+            # selected expansion scores as a BM25 TermQuery whose df is
+            # BLENDED to the selected terms' max df, weighted by the
+            # FuzzyTermsEnum similarity boost, SHOULD-summed per doc
             f = node.field or self.fields[0]
-            keys = self._fuzzy_expand(node.text, f, node.max_edits)
-            if not keys:
+            pref_len = 0 if f == self.fields[0] else len(f) + 1
+            exp = self._fuzzy_expand(node.text, f, node.max_edits)
+            dfs = self.term_dfs({kk for kk, _ in exp})
+            exp = [(kk, ed) for kk, ed in exp if kk in dfs]
+            if not exp:
                 return None
-            docs = self._docs_for_terms(set(keys)).distinct()
-            return docs.withColumn("score", F.lit(1.0 * node.boost))
+            n_f, adl_f = self.field_stats[f]
+            idf_b = float(bm25.idf(max(dfs[kk] for kk, _ in exp), n_f))
+            fboosts = {
+                kk: self._fuzzy_boost(kk[pref_len:], node.text, ed) for kk, ed in exp
+            }
+            keys = set(fboosts)
+            scored = self._scored_terms_df(
+                keys, {kk: idf_b for kk in keys}, {kk: adl_f for kk in keys}
+            )
+            boost_expr = F.create_map(
+                *[x for t, b in fboosts.items() for x in (F.lit(t), F.lit(b))]
+            )
+            nparts = self._serve_parts(sum(dfs.values()))
+            g = (
+                scored.repartition(nparts, "doc_id")
+                .groupBy("doc_id")
+                .agg(
+                    F.sum(
+                        F.col("score") * F.element_at(boost_expr, F.col("term"))
+                    ).alias("score")
+                )
+            )
+            if node.boost != 1.0:
+                g = g.withColumn("score", F.col("score") * F.lit(node.boost))
+            return g
         if isinstance(node, Wildcard):
             # WildcardQuery: regex over the sorted term dictionary
             # (Lucene walks its terms dict with an automaton in the same
@@ -875,7 +1229,19 @@ class SearchEngine:
             lit = _re.split(r"[?*]", node.pattern)[0]
             if lit:
                 pred = F.col("term").startswith(pref + lit) & pred
-            return self._constant_score_docs(pred, f, node.boost)
+            parts = None
+            if self._driver_vocab() is not None:
+                # zero-job expansion: regex over the literal-prefix band
+                # of the driver vocab (parser rejects leading wildcards,
+                # so the band is always a proper prefix slice)
+                terms = self._vocab[0]
+                base = pref + lit
+                i0, i1 = self._vocab_slice(base, base + self._MAXCH, True, True)
+                sel = self._default_scope_sel(i0, i1, f)
+                pat = _re.compile("^" + _re.escape(pref) + rx + "$")
+                sel = sel[[bool(pat.match(terms[i])) for i in sel]] if sel.size else sel
+                parts = self._expand_sel_to_parts(sel)
+            return self._constant_score_docs(pred, f, node.boost, parts=parts)
         if isinstance(node, TermRange):
             # Lucene TermRangeQuery: constant-score rewrite over the
             # dictionary range, same machinery as Prefix
@@ -894,7 +1260,22 @@ class SearchEngine:
                 )
             if pref:
                 pred = pred & F.col("term").startswith(pref)
-            return self._constant_score_docs(pred, f, node.boost)
+            parts = None
+            if self._driver_vocab() is not None:
+                lo_key = pref + node.lo if node.lo is not None else (pref or None)
+                hi_key = (
+                    pref + node.hi
+                    if node.hi is not None
+                    else (pref + self._MAXCH if pref else None)
+                )
+                i0, i1 = self._vocab_slice(
+                    lo_key,
+                    hi_key,
+                    node.lo_incl if node.lo is not None else True,
+                    node.hi_incl if node.hi is not None else True,
+                )
+                parts = self._expand_sel_to_parts(self._default_scope_sel(i0, i1, f))
+            return self._constant_score_docs(pred, f, node.boost, parts=parts)
         if isinstance(node, Phrase):
             terms = set(node.terms)
             if any(t not in idf_map for t in terms):
@@ -914,10 +1295,13 @@ class SearchEngine:
                 # and the heavier terms' payloads are filtered MAP-SIDE,
                 # so non-candidate positions never enter the shuffle.
                 cand_bc = self._lead_docs_bc(terms, terms)
-                stream = self._rows_for_terms(terms, self.POS_COLS).mapInPandas(
+                stream = self._spread_posting_rows(
+                    self._rows_for_terms(terms, self.POS_COLS), terms
+                ).mapInPandas(
                     _decode_positions_stream(node.terms, cand_bc), POS_STREAM_SCHEMA
                 )
-                scored = stream.repartition("doc_id").mapInPandas(
+                nparts = self._serve_parts(sum(self.term_dfs(terms).values()))
+                scored = stream.repartition(nparts, "doc_id").mapInPandas(
                     _phrase_match_positions(
                         len(node.terms), idf_sum, field_avgdl, node.slop
                     ),
@@ -1072,6 +1456,8 @@ class SearchEngine:
             {t for t in musts if t in idf_map}, {t for t in scoring if t in idf_map}
         )
         scored = self._scored_terms_df(set(scoring), idf_map, avgdl_map, lead)
+        nparts = self._serve_parts(sum(self.term_dfs(set(scoring)).values()))
+        scored = scored.repartition(nparts, "doc_id")
         boost_expr = F.create_map(
             *[x for t, b in boosts.items() for x in (F.lit(t), F.lit(b))]
         )
@@ -1154,7 +1540,10 @@ class SearchEngine:
             )
         else:
             scores = self._score_resolved(ast)
-        return self._finish(scores, k, mode, with_text)
+        nparts = self._serve_parts(
+            sum(self.term_dfs(query_terms(ast)).values())
+        )
+        return self._finish(scores, k, mode, with_text, nparts=nparts)
 
     BATCH_SCHEMA = (
         "query_id string, rank int, doc_id long, conv_id string, turn_idx int, score double"
@@ -1265,14 +1654,21 @@ class SearchEngine:
         # reduceat, never as materialized rows; each partition also
         # prunes to per-query top-k / best-per-conv before anything
         # shuffles again.
-        enriched = scored.repartition("doc_id").join(
-            self.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+        enriched = scored.repartition(
+            self._serve_parts(sum(self.term_dfs(referenced).values())), "doc_id"
         )
+        if self._off_bc is None:
+            # non-dense index: conv/turn come from the doc_stats join;
+            # dense indexes attach them INSIDE the kernel via the
+            # broadcast conv_offsets searchsorted (no join, no scan)
+            enriched = enriched.join(
+                self.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+            )
         pruned = enriched.mapInPandas(
-            _shared_batch_kernel(clause_rows, cfg_rows), BATCH_ROW_SCHEMA
+            _shared_batch_kernel(clause_rows, cfg_rows, self._off_bc), BATCH_ROW_SCHEMA
         )
         return (
-            pruned.repartition("query_id")
+            pruned.repartition(min(len(flat), 32), "query_id")
             .mapInPandas(
                 _finalize_batch(),
                 "query_id string, rank int, doc_id long, conv_id string, "
@@ -1281,10 +1677,60 @@ class SearchEngine:
             .select("query_id", *RESULT_COLS)
         )
 
-    def _finish(self, scores: DataFrame, k: int | None, mode: str, with_text: bool) -> DataFrame:
-        enriched = scores.join(
-            self.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id"
-        )
+    ATTACHED_SCHEMA = "doc_id long, score double, conv_id string, turn_idx int"
+
+    def _attach_stats(self, scores: DataFrame) -> DataFrame:
+        """Attach (conv_id, turn_idx) to a (doc_id, score) stream.
+
+        Dense-docid indexes (conv_offsets artifact present) map doc_id →
+        conversation MAP-SIDE with a broadcast searchsorted: doc_id =
+        conv_offset + turn_idx by construction, so no doc_stats scan and
+        no join shuffle per query.  Other indexes join doc_stats."""
+        if self._off_bc is None:
+            return scores.join(
+                self.doc_stats.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+            )
+        bc = self._off_bc
+
+        def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            conv_ids, offs = bc.value
+            for pdf in it:
+                d = pdf["doc_id"].to_numpy(np.int64)
+                idx = np.searchsorted(offs, d, side="right") - 1
+                out = pdf[["doc_id", "score"]].copy()
+                out["conv_id"] = conv_ids[idx]
+                out["turn_idx"] = (d - offs[idx]).astype(np.int32)
+                yield out
+
+        return scores.mapInPandas(gen, self.ATTACHED_SCHEMA)
+
+    def _finish(
+        self,
+        scores: DataFrame,
+        k: int | None,
+        mode: str,
+        with_text: bool,
+        nparts: int | None = None,
+    ) -> DataFrame:
+        if mode != "conversations" and k is not None:
+            # turns mode: the top-k winners are fully determined by
+            # (score, doc_id), so rank FIRST (TakeOrderedAndProject,
+            # all JVM) and attach conversation metadata to the k
+            # surviving rows only — one tiny Python task instead of a
+            # per-shuffle-partition wave over every candidate
+            topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            attached = self._attach_stats(topk)
+            wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            out = attached.withColumn("rank", F.row_number().over(wr)).select(*RESULT_COLS)
+            if with_text:
+                out = out.join(self.doc_index.select("doc_id", "text"), "doc_id", "left")
+            return out
+        if nparts is not None:
+            # candidate-sized stream: collapse the upstream reduce
+            # partitioning to the df-derived serving width before the
+            # Python attach pass (coalesce — no extra shuffle)
+            scores = scores.coalesce(nparts)
+        enriched = self._attach_stats(scores)
         if mode == "conversations":
             # best-per-conv as a hash aggregation, NOT a window: structs
             # compare lexicographically, so max(struct(score, -doc_id,
@@ -1299,6 +1745,8 @@ class SearchEngine:
                     F.col("turn_idx"),
                 )
             ).alias("_b")
+            if nparts is not None:
+                enriched = enriched.repartition(nparts, "conv_id")
             enriched = (
                 enriched.groupBy("conv_id")
                 .agg(best)

@@ -19,9 +19,11 @@ touching the text:
   (_encode_runs) re-encodes, so compacted output is byte-compatible
   with a fresh build's,
 * the new postings directory is swapped in with a rename pair +
-  leftover repair (``_repair_partial``): a crash mid-swap is healed on
-  the next compact/open, and ``term_dict`` needs NO rewrite — per
-  (term, part) df is invariant under merging splits.
+  leftover repair (``_repair_partial``): a crash mid-swap is healed by
+  every entry point that touches the postings dir — the next
+  ``compact_index``, ``SearchEngine`` open, or ``incremental_append``
+  all invoke the repair first — and ``term_dict`` needs NO rewrite:
+  per (term, part) df is invariant under merging splits.
 
 Doc ranges of distinct splits never overlap (base split ranges come
 from doc-range cuts; each ingest batch's ids start at the previous

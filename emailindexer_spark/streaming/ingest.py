@@ -92,24 +92,43 @@ def incremental_append(
     man = Manifest.load_or_create(index_dir)
     if "n_rows" not in man.stats:
         raise ValueError(f"{index_dir} has no completed base build")
+    # heal a compact crashed mid-swap before touching the postings dir
+    from emailindexer_spark.streaming.compact import _repair_partial
+
+    _repair_partial(man)
     # Replay detection is O(1) in manifest size: Structured Streaming
     # batch ids are monotonically increasing per checkpoint, so a
-    # high-watermark covers them exactly; a bounded tail of recent ids
-    # additionally covers direct incremental_append() callers that pass
-    # non-monotonic ids.  (Previously the full id list was kept and
-    # rewritten every flush — O(n_batches) manifest growth on a
-    # long-running stream.)
+    # high-watermark covers them exactly.  A direct incremental_append()
+    # caller passing a NON-monotonic id that was never committed must
+    # not have its data silently dropped: the bounded recent-id tail
+    # distinguishes "genuinely replayed" (in the tail → no-op) from
+    # "stale but unseen" (≤ watermark, not in the tail → raise loudly;
+    # ids older than the tail window are indistinguishable from
+    # replays, so monotonic ids are required of direct callers).
     watermark = int(man.stats.get("last_committed_batch_id", -(1 << 62)))
     committed: list[int] = list(man.stats.get("committed_batch_ids", []))
-    if batch_id is not None and (
-        int(batch_id) <= watermark or int(batch_id) in committed
-    ):
-        return man  # replayed batch — already fully committed
+    if batch_id is not None and int(batch_id) <= watermark:
+        if int(batch_id) in committed or not committed:
+            return man  # replayed batch — already fully committed
+        raise ValueError(
+            f"batch_id {batch_id} is below the committed watermark "
+            f"{watermark} but was never committed (recent ids: "
+            f"{committed[-8:]}): incremental_append requires "
+            "monotonically increasing batch ids"
+        )
     base = int(man.stats["n_rows"])
     num_parts = int(man.params.get("num_parts", 32))
     simple = bool(man.params.get("simple_tokens", False))
     batch_seq = int(man.stats.get("ingest_batches", 0)) + 1
     tag = _tag_for(batch_seq, batch_id)
+
+    # appended turns land at the END of the doc_id space, so a
+    # conversation touched by an append no longer occupies one
+    # contiguous doc range — drop the conv_offsets fast-path artifact
+    # (the query engine falls back to the doc_stats join; compaction
+    # never moves doc_ids, so it keeps the artifact)
+    shutil.rmtree(man.stage_path("conv_offsets"), ignore_errors=True)
+    man.stages.pop("conv_offsets", None)
 
     # clean any partial files left by a crashed attempt of this batch
     for t in _TABLES:

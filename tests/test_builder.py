@@ -178,9 +178,9 @@ def test_fuzzy_and_wildcard_plans_prune_partitions(spark, index_dir):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "part#" in ln]
     # a single-expansion fuzzy collapses IN (...) to an equality filter
     assert pf and _re.search(r"part#\d+L? (IN \(|= )", pf[0]), plan
-    # docs-only read: the scan must NOT touch tf/norm/pos payloads
+    # blended-freq scoring reads tf/norm payloads — but never positions
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "b_docs" in ln]
-    assert rs and "b_tfs" not in rs[0] and "b_norms" not in rs[0] and "b_pos" not in rs[0], rs
+    assert rs and "b_tfs" in rs[0] and "b_norms" in rs[0] and "b_pos" not in rs[0], rs
     assert df.count() > 0
 
     # wildcard with a literal prefix: term_dict-driven partition pruning

@@ -133,6 +133,19 @@ def test_fuzzy_wildcard_slop_parity(engine, oracle_ix):
     assert nonempty >= 7  # the fixture corpus must exercise these
 
 
+def test_fuzzy_expansion_zero_jobs(engine, spark):
+    # driver-vocab expansion: planning a query with SEVERAL fuzzy leaves
+    # runs ZERO vocab-scan Spark jobs (Lucene walks its in-memory terms
+    # dict in the same place; the Spark-job path is only the >5M-term
+    # fallback)
+    assert engine._driver_vocab() is not None
+    sc = spark.sparkContext
+    sc.setJobGroup("fzjobs", "fzjobs")
+    df = engine.search("qojema~1 fuhepi~1 guka~1", k=5)  # plan build only
+    assert df is not None
+    assert len(sc.statusTracker().getJobIdsForGroup("fzjobs")) == 0
+
+
 def test_slop_widens_matches(engine, oracle_ix):
     exact = osearch(oracle_ix, '"noza guka"', k=2000)
     sloppy = osearch(oracle_ix, '"noza guka"~3', k=2000)
