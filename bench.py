@@ -57,7 +57,14 @@ def corpus_path(n_turns: int) -> str:
     if not os.path.exists(p):
         from emailindexer_spark.sources.fixtures import make_transcripts
 
-        make_transcripts(n_turns, seed=42).to_parquet(p, index=False)
+        # bounded row groups: a single-row-group file cannot be split,
+        # which would make the first exchange's map side ONE task at
+        # every parallelism level (a real corpus never arrives as one
+        # unsplittable blob — at 100 TB inputs come in thousands of
+        # splits; this mirrors that, scaled down)
+        make_transcripts(n_turns, seed=42).to_parquet(
+            p, index=False, row_group_size=50_000
+        )
     return p
 
 

@@ -13,8 +13,10 @@ Replaces the reference's sequential paged scan → Lucene IndexWriter loop
                     and functions/smallfloat.norm_byte_expr: no Python
                     worker, no per-token rows) → stored-fields table
   stage doc_stats   skinny projection of doc_index (doc_id, conv_id,
-                    turn_idx, dl, norm), range-partitioned by doc_id;
-                    global N/avgdl into the manifest from one tiny agg
+                    turn_idx, dl, norm), map-side (source partitions are
+                    already doc_id-sorted), written CONCURRENTLY with
+                    the postings stage; global N/avgdl ride the
+                    doc_index write via observe()
   stage postings    heavy-term detection from a DETERMINISTIC hash-of-
                     doc_id-sampled tokenize (exact full pass below the
                     sampling cutoff; hash, not modulo, so doc_id-
@@ -90,6 +92,16 @@ POSTINGS_SCHEMA = (
 TF_SCHEMA = "doc_id long, term string, tf int, dl int, norm int"
 #: positions ride as pre-encoded segmented delta+varbyte bytes per row
 TF_SCHEMA_POS = TF_SCHEMA + ", pos binary"
+
+#: SPARK_GRAFT_BUILD_TRACE=1 prints per-phase wall times — the
+#: scaling-diagnosis knob: run the same build at two parallelism levels
+#: and diff the phases to find non-scaling constants
+_TRACE = os.environ.get("SPARK_GRAFT_BUILD_TRACE") == "1"
+
+
+def _tr(label: str, t0: float) -> None:
+    if _TRACE:
+        print(f"TRACE {label} {time.time() - t0:.2f}", flush=True)
 
 
 def ensure_parallelism(df: DataFrame, target: int) -> DataFrame:
@@ -370,9 +382,16 @@ class IndexBuilder:
                 man.stages.pop(st)
             man._flush()
 
+        # two distinct width knobs: the WIDE per-token shuffle spreads
+        # over at least num_parts reducers (skew headroom), but SCAN
+        # parallelism floors scale with the session's cores only — a
+        # num_parts floor there would force a full-corpus exchange even
+        # when the input's natural splits already feed every core
+        # (pure overhead, and its map side is as serial as the input)
         par_target = max(
             self.num_parts, 2 * self.spark.sparkContext.defaultParallelism
         )
+        scan_target = 2 * self.spark.sparkContext.defaultParallelism
 
         # ---------------------------------------------------- doc_index
         if not man.is_complete("doc_index"):
@@ -383,11 +402,12 @@ class IndexBuilder:
             # doc_index write is map-side and runs at the scan's
             # parallelism.  At cluster scale inputs arrive in thousands
             # of splits and this is a no-op.
-            df = ensure_parallelism(transcripts, par_target)
+            df = ensure_parallelism(transcripts, scan_target)
             if self.validate:
                 validate_transcripts(df)
             pins: list = []
             offsets_out: dict = {}
+            t1 = time.time()
             df, _n_total = assign_doc_ids_with_total(
                 df,
                 method=self.docid_method,
@@ -395,6 +415,7 @@ class IndexBuilder:
                 pinned=pins,
                 offsets_out=offsets_out,
             )
+            _tr("docid_offsets", t1)
             if self.sanitize:
                 clean = F.pandas_udf(remove_quoted_replies, "string")
                 df = df.withColumn("text", clean(F.col("text")))
@@ -421,6 +442,7 @@ class IndexBuilder:
                     F.count(F.when(F.col(dcol) > 0, 1)).alias(f"n_{fld}")
                 )
                 obs_aggs.append(F.sum(dcol).alias(f"total_{fld}"))
+            t1 = time.time()
             (
                 df.select(
                     "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
@@ -431,6 +453,7 @@ class IndexBuilder:
                 .write.mode("overwrite")
                 .parquet(man.stage_path("doc_index"))
             )
+            _tr("doc_index_write", t1)
             for p in pins:
                 p.unpersist(blocking=False)
             m = obs.get
@@ -479,27 +502,50 @@ class IndexBuilder:
 
         # ---------------------------------------------------- doc_stats
         # skinny projection (no text column touched) — keeps the A6
-        # norms-table contract at ~1% of the doc_index bytes
+        # norms-table contract at ~1% of the doc_index bytes.  MAP-SIDE
+        # write (doc_index partitions are already doc_id-sorted — no
+        # exchange, no range-sampling job), and when the postings stage
+        # is also pending it runs CONCURRENTLY in a driver thread: both
+        # stages read the committed doc_index parquet independently, so
+        # the small write hides under the big tokenize+shuffle instead
+        # of adding a serial barrier between them.
+        stats_err: list[BaseException] = []
+        stats_thread = None
+
+        def _write_doc_stats() -> None:
+            try:
+                t0s = time.time()
+                stat_cols = ["doc_id", "conv_id", "turn_idx", "dl", "norm"] + [
+                    c
+                    for fld in self.fields[1:]
+                    for c in (f"dl_{fld}", f"norm_{fld}")
+                ]
+                (
+                    doc_index.select(*stat_cols)
+                    .sortWithinPartitions("doc_id")
+                    .write.mode("overwrite")
+                    .parquet(man.stage_path("doc_stats"))
+                )
+                man.commit_stage("doc_stats", seconds=round(time.time() - t0s, 2))
+            except BaseException as e:  # re-raised on the main thread
+                stats_err.append(e)
+
         if not man.is_complete("doc_stats"):
-            t0 = time.time()
-            stat_cols = ["doc_id", "conv_id", "turn_idx", "dl", "norm"] + [
-                c
-                for fld in self.fields[1:]
-                for c in (f"dl_{fld}", f"norm_{fld}")
-            ]
-            (
-                doc_index.select(*stat_cols)
-                .repartitionByRange(self.num_parts, "doc_id")
-                .sortWithinPartitions("doc_id")
-                .write.mode("overwrite")
-                .parquet(man.stage_path("doc_stats"))
-            )
-            man.commit_stage("doc_stats", seconds=round(time.time() - t0, 2))
-        doc_stats = self.spark.read.parquet(man.stage_path("doc_stats"))
+            if not man.is_complete("postings") and "n_rows" in man.stats:
+                import threading
+
+                stats_thread = threading.Thread(target=_write_doc_stats, daemon=True)
+                stats_thread.start()
+            else:
+                _write_doc_stats()
+                if stats_err:
+                    raise stats_err[0]
         if "n_docs" not in man.stats:
             # resume fallback (manifest predates the observe()-based
-            # stats): one aggregation job over the skinny doc_stats table
-            agg = doc_stats.agg(
+            # stats): one aggregation over the skinny doc_stats table —
+            # guaranteed on disk here (the threaded overlap requires
+            # n_rows, so this path always took the synchronous write)
+            agg = self.spark.read.parquet(man.stage_path("doc_stats")).agg(
                 F.count("*").alias("rows"),
                 F.count(F.when(F.col("dl") > 0, 1)).alias("n"),
                 F.sum("dl").alias("total"),
@@ -529,7 +575,8 @@ class IndexBuilder:
                 if sample_mod > 1
                 else src
             )
-            sample_tf = ensure_parallelism(sample_src, par_target).mapInPandas(
+            t1 = time.time()
+            sample_tf = ensure_parallelism(sample_src, scan_target).mapInPandas(
                 _tokenize_to_tf_rows(self.simple_tokens, fields=self.fields), TF_SCHEMA
             )
             heavy = (
@@ -542,9 +589,10 @@ class IndexBuilder:
                 )
                 .select("term", "n_splits")
             )
+            _tr("heavy_plan", t1)
             # ONE full tokenize pass feeding the wide shuffle directly —
             # no persist: the token stream is never stored or re-read
-            tf_rows = ensure_parallelism(src, par_target).mapInPandas(
+            tf_rows = ensure_parallelism(src, scan_target).mapInPandas(
                 _tokenize_to_tf_rows(
                     self.simple_tokens, positions=self.positions, fields=self.fields
                 ),
@@ -579,6 +627,7 @@ class IndexBuilder:
                 .sortWithinPartitions("term", "split_id", "doc_id")
                 .mapInPandas(_encode_runs(self.block_size, self.num_parts), POSTINGS_SCHEMA)
             )
+            t1 = time.time()
             (
                 postings.repartition(self.num_parts, "part")
                 .sortWithinPartitions("term", "split_id")
@@ -586,7 +635,14 @@ class IndexBuilder:
                 .partitionBy("part")
                 .parquet(man.stage_path("postings"))
             )
+            _tr("postings_write", t1)
             man.commit_stage("postings", seconds=round(time.time() - t0, 2))
+
+        # barrier for the overlapped doc_stats write
+        if stats_thread is not None:
+            stats_thread.join()
+            if stats_err:
+                raise stats_err[0]
 
         # --------------------------------------- term_dict + build_metrics
         # ONE pass over the postings feeds both: a per-(term, part)

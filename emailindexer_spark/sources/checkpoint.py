@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -37,6 +38,11 @@ class Manifest:
     stages: dict[str, dict[str, Any]] = field(default_factory=dict)
     stats: dict[str, Any] = field(default_factory=dict)
     params: dict[str, Any] = field(default_factory=dict)
+    # commit serialization: the builder overlaps independent stage
+    # writes (doc_stats ∥ postings) in threads; flushes must not race
+    _lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     @property
     def path(self) -> str:
@@ -88,9 +94,11 @@ class Manifest:
         return os.path.join(self.root, stage)
 
     def commit_stage(self, stage: str, **info: Any) -> None:
-        self.stages[stage] = {"complete": True, "committed_at": time.time(), **info}
-        self._flush()
+        with self._lock:
+            self.stages[stage] = {"complete": True, "committed_at": time.time(), **info}
+            self._flush()
 
     def set_stats(self, **stats: Any) -> None:
-        self.stats.update(stats)
-        self._flush()
+        with self._lock:
+            self.stats.update(stats)
+            self._flush()

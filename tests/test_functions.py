@@ -345,3 +345,61 @@ class TestParser:
         assert isinstance(q.clauses[0][1], Phrase) and q.clauses[0][1].terms == ("a", "b")
         assert isinstance(q.clauses[1][1], Prefix)
         assert q.clauses[2][1].boost == 2.0
+
+
+class TestLevenshteinBatch:
+    """The planner's vectorized edit-distance kernel vs a scalar
+    reference DP — both metrics: classic Levenshtein (the gated one, ==
+    Spark/DuckDB levenshtein()) and OSA / restricted Damerau (Lucene's
+    transpositions=true primitive, shipped but not gated)."""
+
+    @staticmethod
+    def _ref(a, b, transpositions):
+        m, n = len(a), len(b)
+        D = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(m + 1):
+            D[i][0] = i
+        for j in range(n + 1):
+            D[0][j] = j
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                D[i][j] = min(
+                    D[i - 1][j] + 1,
+                    D[i][j - 1] + 1,
+                    D[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+                if (
+                    transpositions
+                    and i > 1
+                    and j > 1
+                    and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]
+                ):
+                    D[i][j] = min(D[i][j], D[i - 2][j - 2] + 1)
+        return D[m][n]
+
+    def test_matches_reference_dp(self):
+        import random
+
+        import numpy as np
+
+        from emailindexer_spark.plans.planner import _levenshtein_batch
+
+        rng = random.Random(13)
+        cands = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(0, 7)))
+            for _ in range(300)
+        ]
+        for text in ["", "abc", "abca", "dcba", "aabbc"]:
+            for tr in (False, True):
+                got = _levenshtein_batch(cands, text, transpositions=tr)
+                exp = np.array([self._ref(text, c, tr) for c in cands])
+                bad = np.nonzero(got != exp)[0]
+                assert bad.size == 0, (text, tr, [(cands[i], got[i], exp[i]) for i in bad[:3]])
+
+    def test_transposition_credit(self):
+        from emailindexer_spark.plans.planner import _levenshtein_batch
+
+        # "ab" -> "ba": classic 2 edits, OSA 1
+        assert _levenshtein_batch(["ba"], "ab", transpositions=False)[0] == 2
+        assert _levenshtein_batch(["ba"], "ab", transpositions=True)[0] == 1
