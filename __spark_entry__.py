@@ -228,6 +228,76 @@ def _engine_for(
     return _ENGINE_CACHE[key]
 
 
+#: conv_id boundary splitting the corpus for the incremental-ingest
+#: gate: base = conversations sorting BEFORE the boundary, appended
+#: batch = the rest.  Because every batch conversation sorts after
+#: every base conversation, incremental_append assigns the SAME global
+#: doc_ids a one-shot build would, so the ordinary full-corpus oracle
+#: applies unchanged — the gate hash-checks the streaming path end to
+#: end (docids, summed dfs, corpus-wide stats after append).
+_APPEND_SPLIT = "c0100"
+
+
+def _engine_appended(spark: SparkSession, sf_dir: str, compact: bool) -> SearchEngine:
+    """Engine over an index built INCREMENTALLY: batch build of the
+    base conversations, streaming-style append of the rest
+    (streaming/ingest.incremental_append), optionally followed by
+    posting-list compaction (streaming/compact.compact_index) on a
+    copy.  Results must hash-match the full-corpus DuckDB oracle."""
+    key = (os.path.abspath(sf_dir), "appended", compact)
+    if key not in _ENGINE_CACHE:
+        import shutil
+
+        from emailindexer_spark import __version__
+        from emailindexer_spark.streaming.compact import compact_index
+        from emailindexer_spark.streaming.ingest import incremental_append
+
+        tag = "cmp" if compact else "app"
+        base_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"eisx_append_v{__version__}_" + key[0].strip("/").replace("/", "_"),
+        )
+        ix_dir = base_dir + ("_cmp" if compact else "")
+        done = os.path.join(ix_dir, "_APPEND_DONE")
+
+        def _build():
+            shutil.rmtree(ix_dir, ignore_errors=True)
+            if compact:
+                # compact a COPY of the appended index, so the
+                # uncompacted multi-split read path stays gated too
+                _engine_appended(spark, sf_dir, compact=False)
+                shutil.copytree(base_dir, ix_dir)
+                os.remove(os.path.join(ix_dir, "_APPEND_DONE"))
+                compact_index(spark, ix_dir)
+            else:
+                t = derived_transcripts(spark, sf_dir)
+                IndexBuilder(
+                    spark,
+                    ix_dir,
+                    num_parts=8,
+                    heavy_df_threshold=200,
+                    split_target=150,
+                    simple_tokens=True,
+                ).build(t.where(F.col("conv_id") < _APPEND_SPLIT))
+                incremental_append(
+                    spark,
+                    ix_dir,
+                    t.where(F.col("conv_id") >= _APPEND_SPLIT),
+                    batch_id=1,
+                )
+            with open(done, "w") as f:
+                f.write(tag)
+
+        if not os.path.exists(done):
+            _build()
+        try:
+            _ENGINE_CACHE[key] = SearchEngine(spark, ix_dir)
+        except ValueError:
+            _build()
+            _ENGINE_CACHE[key] = SearchEngine(spark, ix_dir)
+    return _ENGINE_CACHE[key]
+
+
 def _q_bm25(query: str, k: int, mode: str = "turns", wand: bool | None = False):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = _engine_for(spark, sf_dir)
@@ -373,6 +443,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- multi-field (per-field stats, §2.9 / MultiField) ------
     q["bm25_mf_field"] = _q_bm25_mf("role:assistant dup", 15)
     q["bm25_mf_bare"] = _q_bm25_mf("assistant dup", 15)
+
+    # ---------------- incremental ingest + compaction (streaming path) -----
+    def bm25_append_or(spark, sf_dir):
+        # index built in two steps (batch base + incremental_append of
+        # the remaining conversations): docids, summed per-term dfs and
+        # corpus-wide N/avgdl must make results hash-match the ordinary
+        # full-corpus oracle
+        eng = _engine_appended(spark, sf_dir, compact=False)
+        return eng.search("dup spark", k=15, use_wand=False).withColumn(
+            "score", F.round("score", 4)
+        )
+
+    q["bm25_append_or"] = bm25_append_or
+
+    def bm25_compact_phrase(spark, sf_dir):
+        # appended index, then posting-list compaction (segment-merge
+        # analogue): merged runs + re-concatenated position payloads
+        # must leave phrase results byte-identical to the oracle's
+        eng = _engine_appended(spark, sf_dir, compact=True)
+        return eng.search('"table hash"', k=15, use_wand=False).withColumn(
+            "score", F.round("score", 4)
+        )
+
+    q["bm25_compact_phrase"] = bm25_compact_phrase
 
     # ---------------- relational filters / sorts / counts (§2.2-§2.6) -------
     def rel_date_page(spark, sf_dir):
@@ -618,6 +712,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_jaccard"] = dedup_jaccard
+
+    def dedup_canonical(spark, sf_dir):
+        # transitive duplicate-cluster resolution: the verified near-dup
+        # pairs (same pipeline as dedup_jaccard) chain into connected
+        # components via min-label propagation; canonical_id = the
+        # component's min doc_id — the copy a training pipeline keeps
+        dd = _docs_with_planted_dups(spark, sf_dir)
+        cand = D.minhash_lsh_pairs(dd, n_hashes=16, bands=4)
+        pairs = D.jaccard_verify(cand, dd, threshold=0.8)
+        return (
+            D.duplicate_components(pairs)
+            .select(
+                F.col("id").alias("doc_id"), F.col("rep").alias("canonical_id")
+            )
+            .orderBy("doc_id")
+        )
+
+    q["dedup_canonical"] = dedup_canonical
 
     def dedup_simhash16(spark, sf_dir):
         dd = _docs_with_planted_dups(spark, sf_dir)
@@ -973,6 +1085,15 @@ SELECT CAST(row_number() OVER (ORDER BY w.doc_id) AS INT) AS rank,
 FROM wdocs w JOIN docs dd USING (doc_id)
 ORDER BY w.doc_id LIMIT 30"""
 
+    # incremental ingest + compaction: the engine-side index is built
+    # batch+append (and compacted for the phrase row), but the RESULT
+    # contract is the plain full-corpus oracle — append assigns the
+    # same global docids a one-shot build would (batch conversations
+    # all sort after base ones), stats/dfs sum corpus-wide, and
+    # compaction is result-preserving by construction
+    o["bm25_append_or"] = _bm25_sql(["dup", "spark"], 15)
+    o["bm25_compact_phrase"] = o["bm25_phrase"]
+
     # ---------------- relational ----------------
     o["rel_date_page"] = """
 SELECT event_id, user_id, event_type, round(value, 4) AS value
@@ -1135,6 +1256,42 @@ j AS (
 SELECT id_a, id_b, round(jac, 4) AS jaccard
 FROM j WHERE jac >= 0.8
 ORDER BY id_a, id_b"""
+
+    # duplicate-cluster resolution: the engine's min-label propagation
+    # must equal the true transitive closure — DuckDB derives it
+    # independently with a RECURSIVE CTE over the same verified pairs
+    o["dedup_canonical"] = f"""
+WITH RECURSIVE {_SQL_DUP_DOCS},{_sql_shingles},
+sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+),
+e(a, b) AS (
+  SELECT id_a, id_b FROM j WHERE jac >= 0.8
+  UNION
+  SELECT id_b, id_a FROM j WHERE jac >= 0.8
+),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+FROM reach GROUP BY id ORDER BY doc_id"""
 
     bit_terms = " + ".join(
         f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)

@@ -201,6 +201,7 @@ def main() -> None:
         for name, q, k, mode, _w in BENCH_QUERIES
         if name != "or3_wand"
     }
+    eng.search_many(batch, use_wand=False).count()  # warm (same as per-query)
     sc.setJobGroup("_batch", "_batch")
     t0 = time.time()
     n_hits = eng.search_many(batch, use_wand=False).count()
@@ -280,10 +281,30 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _scaling_history(scaling) -> list[dict]:
+    """Append this run's scaling legs to BENCH/history.jsonl and return
+    the full history — the multi-run spread is the honest answer to
+    'does the ratio hold, or did one run get lucky'."""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    hp = os.path.join(REPO, "BENCH", "history.jsonl")
+    rec = {
+        "ts": round(time.time(), 1),
+        "efficiency": scaling["efficiency"],
+        "build_sec_small": scaling["build_sec_small"],
+        "build_sec_large": scaling["build_sec_large"],
+        "build_sec_cpus": scaling["cpus_leg"]["build_sec"],
+    }
+    with open(hp, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    with open(hp) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
 def _write_baseline_md(sf, n_turns, t_large, qsec, scaling, qjobs=None) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     p = os.path.join(REPO, "BENCH", "BASELINE.md")
     leg = scaling["cpus_leg"]
+    hist = _scaling_history(scaling)
     lines = [
         "# BENCH — measured numbers (latest run)",
         "",
@@ -304,6 +325,13 @@ def _write_baseline_md(sf, n_turns, t_large, qsec, scaling, qjobs=None) -> None:
         f"- 4N={scaling['n_large']}: {scaling['build_sec_large']} s "
         f"({scaling['turns_per_sec_large']} turns/s)",
         f"- scaling efficiency (T_N/T_4N)/4 = **{scaling['efficiency']}** (target ≥ 0.8)",
+        "- run history (this protocol, chronological; BENCH/history.jsonl): "
+        + ", ".join(f"{h['efficiency']}" for h in hist[-8:])
+        + (
+            f" — median {sorted(h['efficiency'] for h in hist)[len(hist) // 2]}"
+            if hist
+            else ""
+        ),
         "- above ~8 local threads this single node's shuffle/memory fabric "
         "saturates; a real cluster scales that axis with nodes (more "
         "aggregate shuffle bandwidth), not with threads on one box. The "

@@ -302,3 +302,61 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (id, rep) for
+    every id appearing in a pair, rep = the component's minimum id —
+    the canonical copy a training pipeline keeps while dropping the
+    rest.  Pairs chain transitively (A~B, B~C puts A and C in one
+    cluster even when A~C itself is below threshold).
+
+    Min-label propagation: each round every node takes the min of its
+    own and its neighbors' labels — converges in O(component diameter)
+    rounds, each round one join + one aggregation (no driver-side graph
+    state; the driver sees only a changed-row count per round).  Raises
+    after ``max_iters`` non-converged rounds rather than returning
+    partial clusters.  Diameters of near-dup clusters are tiny in
+    practice (dup chains are short); for adversarial long-path graphs
+    at 10^12 scale the standard fix is pointer-doubling /
+    large-star-small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) — same join-shape, fewer rounds.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            prop = edges.join(
+                labels.withColumnRenamed("id", "a"), "a"
+            ).select(F.col("b").alias("id"), "rep")
+            new_labels = (
+                labels.unionByName(prop).groupBy("id").agg(F.min("rep").alias("rep"))
+            ).persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.withColumnRenamed("rep", "_old"), "id")
+                .where(F.col("rep") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist(blocking=False)
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iters} rounds"
+        )
+    finally:
+        edges.unpersist(blocking=False)

@@ -1038,7 +1038,12 @@ class SearchEngine:
         return self.spark.sparkContext.broadcast(np.sort(ids))
 
     def _constant_score_docs(
-        self, pred, field: str, boost: float, parts: list[int] | None = None
+        self,
+        pred,
+        field: str,
+        boost: float,
+        parts: list[int] | None = None,
+        est_rows: int | None = None,
     ) -> DataFrame | None:
         """Multi-term constant-score rewrite (Prefix/TermRange/Wildcard):
         prune postings PARTITIONS to the expansion's md5-part list, then
@@ -1062,11 +1067,15 @@ class SearchEngine:
             prows = self.postings.where(F.col("part").isin(sorted(parts)) & pred)
         else:  # pre-term_dict index layout: full postings scan
             prows = self.postings.where(pred)
-        docs = (
-            prows.select(*self.DOCS_COLS)
-            .mapInPandas(_decode_docs_only(), "doc_id long")
-            .distinct()
+        docs = prows.select(*self.DOCS_COLS).mapInPandas(
+            _decode_docs_only(), "doc_id long"
         )
+        if est_rows is not None:
+            # driver-known expansion df sizes the dedup exchange; the
+            # explicit hash partitioning satisfies distinct()'s
+            # clustering, so this is the ONE shuffle, at the right width
+            docs = docs.repartition(self._serve_parts(est_rows), "doc_id")
+        docs = docs.distinct()
         return docs.withColumn("score", F.lit(1.0 * boost))
 
     @staticmethod
@@ -1168,13 +1177,15 @@ class SearchEngine:
             f = node.field or self.fields[0]
             key = self._key(f, node.prefix)
             pred = F.col("term").startswith(key)
-            parts = None
+            parts = est = None
             if self._driver_vocab() is not None:
                 # zero-job expansion: binary-search the driver vocab for
                 # the prefix range, emit its md5-part list
                 i0, i1 = self._vocab_slice(key, key + self._MAXCH, True, True)
-                parts = self._expand_sel_to_parts(self._default_scope_sel(i0, i1, f))
-            return self._constant_score_docs(pred, f, node.boost, parts=parts)
+                sel = self._default_scope_sel(i0, i1, f)
+                parts = self._expand_sel_to_parts(sel)
+                est = int(self._vocab[1][sel].sum())
+            return self._constant_score_docs(pred, f, node.boost, parts=parts, est_rows=est)
         if isinstance(node, Fuzzy):
             # Lucene's default TopTermsBlendedFreqScoringRewrite: every
             # selected expansion scores as a BM25 TermQuery whose df is
@@ -1229,7 +1240,7 @@ class SearchEngine:
             lit = _re.split(r"[?*]", node.pattern)[0]
             if lit:
                 pred = F.col("term").startswith(pref + lit) & pred
-            parts = None
+            parts = est = None
             if self._driver_vocab() is not None:
                 # zero-job expansion: regex over the literal-prefix band
                 # of the driver vocab (parser rejects leading wildcards,
@@ -1241,7 +1252,8 @@ class SearchEngine:
                 pat = _re.compile("^" + _re.escape(pref) + rx + "$")
                 sel = sel[[bool(pat.match(terms[i])) for i in sel]] if sel.size else sel
                 parts = self._expand_sel_to_parts(sel)
-            return self._constant_score_docs(pred, f, node.boost, parts=parts)
+                est = int(self._vocab[1][sel].sum())
+            return self._constant_score_docs(pred, f, node.boost, parts=parts, est_rows=est)
         if isinstance(node, TermRange):
             # Lucene TermRangeQuery: constant-score rewrite over the
             # dictionary range, same machinery as Prefix
@@ -1260,7 +1272,7 @@ class SearchEngine:
                 )
             if pref:
                 pred = pred & F.col("term").startswith(pref)
-            parts = None
+            parts = est = None
             if self._driver_vocab() is not None:
                 lo_key = pref + node.lo if node.lo is not None else (pref or None)
                 hi_key = (
@@ -1274,8 +1286,10 @@ class SearchEngine:
                     node.lo_incl if node.lo is not None else True,
                     node.hi_incl if node.hi is not None else True,
                 )
-                parts = self._expand_sel_to_parts(self._default_scope_sel(i0, i1, f))
-            return self._constant_score_docs(pred, f, node.boost, parts=parts)
+                sel = self._default_scope_sel(i0, i1, f)
+                parts = self._expand_sel_to_parts(sel)
+                est = int(self._vocab[1][sel].sum())
+            return self._constant_score_docs(pred, f, node.boost, parts=parts, est_rows=est)
         if isinstance(node, Phrase):
             terms = set(node.terms)
             if any(t not in idf_map for t in terms):

@@ -198,3 +198,16 @@ def test_multimodal_stub_raises_without_codec(spark):
     media = MM.make_fake_media(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         MM.extract_features(media, fake=False).collect()
+
+
+def test_duplicate_components_chain(spark):
+    # transitive closure: A~B, B~C clusters A with C even though the
+    # pair (A, C) itself is absent; rep = component min id
+    from emailindexer_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 11), (50, 51)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["rep"] for r in duplicate_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 10, 50: 50, 51: 50}
