@@ -237,3 +237,25 @@ def test_randomized_query_parity(engine, oracle_ix, corpus_pdf):
         checked += 1
         nonempty += bool(got)
     assert checked == 30 and nonempty >= 15
+
+
+def test_driver_vocab_fallback_parity(spark, index_dir):
+    # the driver-resident vocab makes expansions/df lookups zero-job;
+    # forcing the >cap fallback (Spark term_dict jobs) must produce
+    # IDENTICAL results for every expansion-shaped query
+    fast = SearchEngine(spark, index_dir)
+    assert fast._driver_vocab() is not None
+    slow = SearchEngine(spark, index_dir)
+    slow.VOCAB_DRIVER_MAX_ROWS = 0  # vocab "too big" → Spark fallback
+    assert slow._driver_vocab() is None
+
+    for q in ["qo*", "q?jema", "qojema~1", "[qa TO qp]", "qojema~2 fuhepi", "zz*"]:
+        a = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in fast.search(q, k=15, use_wand=False).collect()
+        ]
+        b = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in slow.search(q, k=15, use_wand=False).collect()
+        ]
+        assert a == b, q
