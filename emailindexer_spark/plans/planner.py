@@ -1470,7 +1470,27 @@ class SearchEngine:
             {t for t in musts if t in idf_map}, {t for t in scoring if t in idf_map}
         )
         scored = self._scored_terms_df(set(scoring), idf_map, avgdl_map, lead)
-        nparts = self._serve_parts(sum(self.term_dfs(set(scoring)).values()))
+        not_terms = {t for t in nots if t in idf_map}
+        if not_terms:
+            # MUST_NOT membership rides the SAME aggregation as score-0
+            # rows (docs-only decode — no tf/norm IO) and a `nnot == 0`
+            # filter, exactly like the batch kernel's N matrix: no
+            # separately-materialized exclusion set, no broadcast job,
+            # no anti-join stage.  At 10^9-df exclusions the not rows
+            # co-partition with the candidates in the one doc_id
+            # exchange — the same volume a shuffle anti join would move.
+            ndocs = (
+                self._spread_posting_rows(
+                    self._rows_for_terms(not_terms, ("term",) + self.DOCS_COLS),
+                    not_terms,
+                )
+                .mapInPandas(_decode_docs_only_keyed(), "term string, doc_id long")
+                .withColumn("score", F.lit(0.0))
+            )
+            scored = scored.unionByName(ndocs)
+        nparts = self._serve_parts(
+            sum(self.term_dfs(set(scoring) | not_terms).values())
+        )
         scored = scored.repartition(nparts, "doc_id")
         boost_expr = F.create_map(
             *[x for t, b in boosts.items() for x in (F.lit(t), F.lit(b))]
@@ -1486,12 +1506,20 @@ class SearchEngine:
                     F.when(F.col("term").isin(musts), F.col("term"))
                 ).alias("_nmust")
             )
+        if not_terms:
+            aggs.append(
+                F.sum(
+                    F.when(F.col("term").isin(sorted(not_terms)), 1).otherwise(0)
+                ).alias("_nnot")
+            )
         g = scored.groupBy("doc_id").agg(*aggs)
         if musts:
             g = g.where(F.col("_nmust") == len(set(musts))).drop("_nmust")
-        not_terms = {t for t in nots if t in idf_map}
         if not_terms:
-            g = g.join(self._not_docs_maybe_bc(not_terms), "doc_id", "left_anti")
+            # score NULL = the doc matched only excluded terms
+            g = g.where(
+                (F.col("_nnot") == 0) & F.col("score").isNotNull()
+            ).drop("_nnot")
         if node.boost != 1.0:
             g = g.withColumn("score", F.col("score") * F.lit(node.boost))
         return g
@@ -1593,16 +1621,33 @@ class SearchEngine:
             all_terms |= query_terms(ast)
         self.term_dfs(all_terms)
         shared: dict[str, tuple[Bool, int | None, str]] = {}
-        parts = []
+        nonflat: list[tuple[str, int | None, str]] = []
         for qid, (ast, k, mode) in resolved.items():
             flat = _flatten_shoulds(ast)
             if use_wand is not True and isinstance(flat, Bool) and self._is_flat_terms(flat):
                 shared[qid] = (flat, k, mode)
             else:
-                df = self.search(
+                nonflat.append((qid, k, mode))
+        parts = []
+        if nonflat:
+            # non-flat members (phrase/prefix/fuzzy/nested) fall back to
+            # per-query plans; BUILD them in parallel driver threads —
+            # plan construction is driver-bound (py4j round-trips plus
+            # the occasional lead-docs/broadcast job), so a batch with
+            # several such members otherwise serializes that latency.
+            # All stats are prewarmed above, so threads share read-only
+            # caches; the plans still execute in the ONE union action.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _plan(item):
+                qid, k, mode = item
+                return qid, self.search(
                     queries[qid][0], k=k, mode=mode, use_wand=use_wand
                 )
-                parts.append(df.withColumn("query_id", F.lit(qid)))
+
+            with ThreadPoolExecutor(max_workers=min(4, len(nonflat))) as ex:
+                for qid, df in ex.map(_plan, nonflat):
+                    parts.append(df.withColumn("query_id", F.lit(qid)))
         if shared:
             parts.append(self._search_many_shared(shared))
         if not parts:
