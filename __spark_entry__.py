@@ -1440,8 +1440,17 @@ FROM pr WHERE cosine >= 0.45 ORDER BY id_a, id_b"""
     # their plane constants.  Assignment (argmin of -2·v·c + ‖c‖², ties
     # → lowest list id, mirroring ivf_assign), nprobe list ranking, and
     # the exact cosine re-rank are then pure DuckDB.
+    # the oracle_sql() contract carries no sf_dir, so the sample path is
+    # resolved from env: SPARK_GRAFT_GATE_EMBEDDINGS (full path) wins,
+    # else the embeddings table under SPARK_GRAFT_GATE_SF_DIR — set it
+    # when gating at a scale other than the driver's fixed sf0.01 so the
+    # inlined centroids are trained on the corpus actually under test
     _ivf_gate_pq = os.environ.get(
-        "SPARK_GRAFT_GATE_EMBEDDINGS", "/root/testdata/sf0.01/embeddings.parquet"
+        "SPARK_GRAFT_GATE_EMBEDDINGS",
+        os.path.join(
+            os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"),
+            "embeddings.parquet",
+        ),
     )
     if os.path.exists(_ivf_gate_pq):
         import pyarrow.parquet as _papq

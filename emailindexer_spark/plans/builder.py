@@ -485,6 +485,12 @@ class IndexBuilder:
 
                 cdir = man.stage_path("conv_offsets")
                 os.makedirs(cdir, exist_ok=True)
+                dest = os.path.join(cdir, "part-00000.parquet")
+                # tmp + atomic rename: a crash mid-write must never leave
+                # a truncated parquet at the published name (the engine
+                # also tolerates one — _load_conv_offsets falls back to
+                # the doc_stats join — but don't create the hazard)
+                tmp = dest + ".tmp"
                 papq.write_table(
                     pa.table(
                         {
@@ -495,8 +501,9 @@ class IndexBuilder:
                             "n_turns": offsets_out["n_turns"],
                         }
                     ),
-                    os.path.join(cdir, "part-00000.parquet"),
+                    tmp,
                 )
+                os.replace(tmp, dest)
                 man.commit_stage("conv_offsets", n_convs=len(offsets_out["conv_ids"]))
         doc_index = self.spark.read.parquet(man.stage_path("doc_index"))
 

@@ -155,6 +155,12 @@ BATCH_ROW_SCHEMA = (
 #: chunk, not by (partition rows × batch size)
 KERNEL_MAX_CELLS = 8_000_000
 
+#: floor on rows per kernel chunk — below this the reduceat bookkeeping
+#: costs more than the dense temporaries save.  A module constant (not a
+#: literal in the kernel) so tests can shrink it and actually exercise
+#: the multi-chunk path.
+KERNEL_MIN_ROWS = 4096
+
 
 def _shared_batch_kernel(
     clause_rows: list[tuple[str, str, float, bool, bool]],
@@ -223,12 +229,12 @@ def _shared_batch_kernel(
         else:
             conv_all = pdf["conv_id"].to_numpy()
             turn_all = pdf["turn_idx"].to_numpy(np.int32)
-        max_rows = max(4096, KERNEL_MAX_CELLS // max(1, nq))
+        max_rows = max(KERNEL_MIN_ROWS, KERNEL_MAX_CELLS // max(1, nq))
         n_groups = starts.size
         total = docs.size
-        outs = []
         g0 = 0
         while g0 < n_groups:
+            outs = []
             g1 = int(np.searchsorted(starts, int(starts[g0]) + max_rows, side="left"))
             if g1 <= g0:
                 g1 = g0 + 1  # one doc group larger than the chunk bound
@@ -280,8 +286,11 @@ def _shared_batch_kernel(
                     )
                 )
             g0 = g1
-        if outs:
-            yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+            # yield per chunk: the pruned chunk output streams straight
+            # into Arrow instead of accumulating across chunks (also the
+            # observable chunk boundary tests count)
+            if outs:
+                yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 
     return gen
 
@@ -705,6 +714,9 @@ class SearchEngine:
         # expansion ZERO-Spark-job operations for bounded vocabularies
         self._vocab: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self._vocab_tried = False
+        import threading
+
+        self._vocab_lock = threading.Lock()
         self._vocab_lens: np.ndarray | None = None
         self._vocab_colon: np.ndarray | None = None
         # conv_offsets artifact (dense-docid builds): broadcast (sorted
@@ -714,8 +726,18 @@ class SearchEngine:
         self._load_conv_offsets()
 
     def _load_conv_offsets(self) -> None:
+        """Load the optional conv_offsets fast-path artifact.
+
+        STRICTLY best-effort: the artifact only ever replaces the
+        doc_stats join, so any doubt — stage not committed in the
+        manifest, unreadable file (e.g. a crash left a truncated
+        parquet), offsets that don't tile [0, n_rows) contiguously —
+        falls back to the join path instead of failing the engine
+        open."""
         import glob
 
+        if not self.man.is_complete("conv_offsets"):
+            return
         co_dir = os.path.join(self.index_dir, "conv_offsets")
         files = sorted(glob.glob(os.path.join(co_dir, "*.parquet")))
         if not files:
@@ -723,23 +745,44 @@ class SearchEngine:
         import pyarrow as pa
         import pyarrow.parquet as papq
 
-        t = pa.concat_tables([papq.read_table(f) for f in files])
-        offs = t.column("conv_offset").to_numpy().astype(np.int64)
-        n_turns = t.column("n_turns").to_numpy().astype(np.int64)
-        # stale-artifact guard: the offsets must tile [0, n_rows) exactly
-        # (an append would extend the doc space; the append path deletes
-        # the artifact, but reject a mismatch regardless)
-        if offs.size == 0 or int(offs[-1] + n_turns[-1]) != self.n_rows:
+        try:
+            t = pa.concat_tables([papq.read_table(f) for f in files])
+            offs = t.column("conv_offset").to_numpy().astype(np.int64)
+            n_turns = t.column("n_turns").to_numpy().astype(np.int64)
+        except Exception:
+            return  # unreadable/corrupt artifact → doc_stats join path
+        # stale-artifact guard: the offsets must tile [0, n_rows) with
+        # FULL contiguity (an append extends the doc space and deletes
+        # the artifact, but reject any mismatch regardless — a wrong
+        # offset table would silently mislabel every hit)
+        if (
+            offs.size == 0
+            or int(offs[0]) != 0
+            or int(offs[-1] + n_turns[-1]) != self.n_rows
+            or not bool((offs[1:] == offs[:-1] + n_turns[:-1]).all())
+        ):
             return
         conv_ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
         self._off_bc = self.spark.sparkContext.broadcast((conv_ids, offs))
 
     def _driver_vocab(self) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """(sorted terms, df, part) arrays, or None when the vocabulary
-        exceeds VOCAB_DRIVER_MAX_ROWS (Spark-job fallbacks engage)."""
+        exceeds VOCAB_DRIVER_MAX_ROWS (Spark-job fallbacks engage).
+
+        Lock-guarded double-checked load: search_many plans queries in
+        driver threads, and publishing ``_vocab_tried`` before ``_vocab``
+        would let a concurrent first call observe (tried=True, vocab=None)
+        and silently take the Spark-job fallback."""
         if self._vocab_tried:
             return self._vocab
-        self._vocab_tried = True
+        with self._vocab_lock:
+            if self._vocab_tried:
+                return self._vocab
+            self._vocab = self._read_driver_vocab()
+            self._vocab_tried = True  # AFTER _vocab is assigned
+        return self._vocab
+
+    def _read_driver_vocab(self) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         import glob
 
         td_path = os.path.join(self.index_dir, "term_dict")
@@ -755,17 +798,15 @@ class SearchEngine:
             if nrows > self.VOCAB_DRIVER_MAX_ROWS:
                 return None
         pdf = pa.concat_tables([papq.read_table(f) for f in files]).to_pandas()
-        # duplicates per (term) possible across parts=... no — part is a
-        # pure function of term; duplicates come from ingest-batch delta
-        # files: sum df per term.  sort=True gives Python str order ==
-        # Spark UTF8 binary order (code-point order).
+        # part is a pure function of term; duplicates come from ingest-
+        # batch delta files: sum df per term.  sort=True gives Python str
+        # order == Spark UTF8 binary order (code-point order).
         g = pdf.groupby("term", sort=True).agg(df=("df", "sum"), part=("part", "first"))
-        self._vocab = (
+        return (
             g.index.to_numpy(dtype=object),
             g["df"].to_numpy(np.int64),
             g["part"].to_numpy(np.int32),
         )
-        return self._vocab
 
     def _vocab_aux(self) -> tuple[np.ndarray, np.ndarray]:
         """(per-term length, per-term contains-colon) masks, computed
@@ -780,10 +821,25 @@ class SearchEngine:
             )
         return self._vocab_lens, self._vocab_colon
 
-    #: largest assigned code point — ``prefix + _MAXCH`` upper-bounds
-    #: every string with that prefix under code-point (== UTF8 binary)
-    #: ordering
-    _MAXCH = "\U0010ffff"
+    @staticmethod
+    def _prefix_successor(prefix: str) -> str | None:
+        """Smallest string > EVERY string carrying ``prefix`` under
+        code-point (== Spark UTF8 binary) order, or None when no such
+        string exists (the prefix is all U+10FFFF — slice to the end).
+
+        The naive ``prefix + U+10FFFF`` inclusive bound UNDER-includes:
+        a vocabulary term whose suffix itself starts with U+10FFFF sorts
+        after it and would silently drop out of parts pruning.  Pruning
+        must never under-include, so prefix slices use this true
+        successor as an EXCLUSIVE upper bound instead."""
+        s = prefix.rstrip("\U0010ffff")
+        if not s:
+            return None
+        return s[:-1] + chr(ord(s[-1]) + 1)
+
+    def _vocab_prefix_slice(self, prefix: str) -> tuple[int, int]:
+        """[i0, i1) of driver-vocab terms that START WITH ``prefix``."""
+        return self._vocab_slice(prefix, self._prefix_successor(prefix), True, False)
 
     def _vocab_slice(
         self,
@@ -1105,7 +1161,7 @@ class SearchEngine:
             dfs = self._vocab[1]
             lens, _ = self._vocab_aux()
             if pref:
-                i0, i1 = self._vocab_slice(pref, pref + self._MAXCH, True, True)
+                i0, i1 = self._vocab_prefix_slice(pref)
                 sel = np.arange(i0, i1)
             else:
                 sel = self._default_scope_sel(0, terms.size, field)
@@ -1181,7 +1237,7 @@ class SearchEngine:
             if self._driver_vocab() is not None:
                 # zero-job expansion: binary-search the driver vocab for
                 # the prefix range, emit its md5-part list
-                i0, i1 = self._vocab_slice(key, key + self._MAXCH, True, True)
+                i0, i1 = self._vocab_prefix_slice(key)
                 sel = self._default_scope_sel(i0, i1, f)
                 parts = self._expand_sel_to_parts(sel)
                 est = int(self._vocab[1][sel].sum())
@@ -1247,7 +1303,7 @@ class SearchEngine:
                 # so the band is always a proper prefix slice)
                 terms = self._vocab[0]
                 base = pref + lit
-                i0, i1 = self._vocab_slice(base, base + self._MAXCH, True, True)
+                i0, i1 = self._vocab_prefix_slice(base)
                 sel = self._default_scope_sel(i0, i1, f)
                 pat = _re.compile("^" + _re.escape(pref) + rx + "$")
                 sel = sel[[bool(pat.match(terms[i])) for i in sel]] if sel.size else sel
@@ -1275,16 +1331,20 @@ class SearchEngine:
             parts = est = None
             if self._driver_vocab() is not None:
                 lo_key = pref + node.lo if node.lo is not None else (pref or None)
-                hi_key = (
-                    pref + node.hi
-                    if node.hi is not None
-                    else (pref + self._MAXCH if pref else None)
-                )
+                if node.hi is not None:
+                    hi_key, hi_incl = pref + node.hi, node.hi_incl
+                elif pref:
+                    # open-ended range scoped to a field: every key with
+                    # the field prefix (true-successor exclusive bound —
+                    # never under-includes, see _prefix_successor)
+                    hi_key, hi_incl = self._prefix_successor(pref), False
+                else:
+                    hi_key, hi_incl = None, True
                 i0, i1 = self._vocab_slice(
                     lo_key,
                     hi_key,
                     node.lo_incl if node.lo is not None else True,
-                    node.hi_incl if node.hi is not None else True,
+                    hi_incl,
                 )
                 sel = self._default_scope_sel(i0, i1, f)
                 parts = self._expand_sel_to_parts(sel)
