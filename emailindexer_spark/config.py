@@ -65,8 +65,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # dense text compresses ~5-10x in parquet: the default 128 MB split
         # makes a 100+ MB file scan (and everything map-side of it, e.g.
-        # tokenization) run on 1-2 tasks regardless of cores
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # tokenization) run on 1-2 tasks regardless of cores.  8 MB is
+        # also at/below the typical text row-group size, so splits carry
+        # ONE row group each — at 16 MB a split straddles 1-2 row groups
+        # and the scan's waves go ragged (measured: doc_index scaled only
+        # 2.9x from 1->4 cores on a 12-row-group corpus; postings 3.87x)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
     # shuffle/spill to tmpfs when available: on this single node the disk
     # is the one resource threads can't multiply; a real cluster gets its

@@ -703,7 +703,12 @@ class IndexBuilder:
                 man.commit_stage("term_dict", seconds=round(time.time() - t0, 2))
             if not man.is_complete("build_metrics"):
                 t0 = time.time()
-                metrics = (
+                # the per-part rollup is P-sized (bounded by num_parts
+                # regardless of corpus scale) — collect it and write the
+                # lineage parquet driver-side: ONE job where the previous
+                # shape spent three (write, re-read, total-aggregate),
+                # and the manifest totals fall out of the same P rows
+                rows = (
                     aug.groupBy("part")
                     .agg(
                         F.sum("posting_rows").alias("posting_rows"),
@@ -712,16 +717,45 @@ class IndexBuilder:
                         F.sum("skew_splits").alias("skew_splits"),
                         F.count("*").alias("n_terms"),  # aug is unique per (term, part)
                     )
-                    .withColumn("snapshot_id", F.lit(man.snapshot_id))
+                    .collect()
                 )
-                metrics.write.mode("overwrite").parquet(man.stage_path("build_metrics"))
-                g = self.spark.read.parquet(man.stage_path("build_metrics")).agg(
-                    F.sum("postings_written"), F.sum("bytes_compressed"), F.sum("skew_splits")
-                ).collect()[0]
+                import shutil
+
+                import pyarrow as pa
+                import pyarrow.parquet as papq
+
+                mdir = man.stage_path("build_metrics")
+                shutil.rmtree(mdir, ignore_errors=True)
+                os.makedirs(mdir, exist_ok=True)
+                cols = (
+                    "part",
+                    "posting_rows",
+                    "postings_written",
+                    "bytes_compressed",
+                    "skew_splits",
+                    "n_terms",
+                )
+                types = {"part": pa.int32()}
+                tbl = pa.table(
+                    {
+                        c: pa.array(
+                            [r[c] for r in rows], type=types.get(c, pa.int64())
+                        )
+                        for c in cols
+                    }
+                    | {
+                        "snapshot_id": pa.array(
+                            [man.snapshot_id] * len(rows), type=pa.string()
+                        )
+                    }
+                )
+                dest = os.path.join(mdir, "part-00000.parquet")
+                papq.write_table(tbl, dest + ".tmp")
+                os.replace(dest + ".tmp", dest)
                 man.set_stats(
-                    postings_written=int(g[0] or 0),
-                    bytes_compressed=int(g[1] or 0),
-                    skew_splits=int(g[2] or 0),
+                    postings_written=sum(int(r["postings_written"]) for r in rows),
+                    bytes_compressed=sum(int(r["bytes_compressed"]) for r in rows),
+                    skew_splits=sum(int(r["skew_splits"]) for r in rows),
                 )
                 man.commit_stage("build_metrics", seconds=round(time.time() - t0, 2))
             aug.unpersist(blocking=False)
