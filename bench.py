@@ -180,7 +180,14 @@ def main() -> None:
     from emailindexer_spark import get_spark
     from emailindexer_spark.plans.planner import SearchEngine
 
-    spark = get_spark(app_name="bench-query", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
+    from emailindexer_spark.config import SERVING_CONF
+
+    spark = get_spark(
+        app_name="bench-query",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+        extra_conf=SERVING_CONF,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
     qsec: dict[str, float] = {}

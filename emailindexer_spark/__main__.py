@@ -25,8 +25,14 @@ import sys
 
 def _spark(args):
     from emailindexer_spark import get_spark
+    from emailindexer_spark.config import SERVING_CONF
 
-    return get_spark(app_name=f"emailindexer-{args.cmd}", master=args.master)
+    # search commands run under the serving profile (AQE off, bigger
+    # Arrow batches); build/ingest/compact keep the analytics defaults
+    extra = SERVING_CONF if args.cmd in ("search", "search-batch") else None
+    return get_spark(
+        app_name=f"emailindexer-{args.cmd}", master=args.master, extra_conf=extra
+    )
 
 
 def cmd_build(args) -> int:

@@ -16,6 +16,21 @@ from pyspark.sql import SparkSession
 # assumes local mode.
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+#: Session overrides for interactive SERVING (SearchEngine point/batch
+#: queries), as opposed to analytics/build sessions:
+#: * AQE off — the query planner sizes every candidate exchange itself
+#:   from exact driver-known df statistics, so AQE's per-exchange query-
+#:   stage materialization only adds a scheduling round-trip (measured
+#:   +11% latency on the 8-query batch suite).  Build/dedup/relational
+#:   sessions keep AQE on (runtime stats genuinely help there).
+#: * larger Arrow batches — the decode→kernel streams are skinny
+#:   (doc_id, term, score) rows; 64k-row batches quarter the Arrow
+#:   round-trips at ~3 MB per batch.
+SERVING_CONF = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+}
+
 
 def _default_driver_mem() -> str:
     """min(70% of system RAM, 28g), floor 2g — SPARK_DRIVER_MEMORY

@@ -268,8 +268,17 @@ def _shared_batch_kernel(
                 d, cv, ti = gdoc[ok], gconv[ok], gturn[ok]
                 order = np.lexsort((d, -sc))  # score desc, doc asc
                 if conv_mode[qi]:
+                    # best-per-conv, then TOP-K CONVS per chunk: a conv in
+                    # the global top-k has fewer than k convs whose global
+                    # max beats its best row's score s; any conv ranked
+                    # above it in THIS chunk has chunk-max > s, hence
+                    # global-max > s — so at most k-1 convs can outrank it
+                    # here and truncation never drops a global winner.
+                    # Without this a heavy-term conversations query emits
+                    # every conv winner per chunk (~#convs rows) into the
+                    # single finalize task that owns the query_id.
                     cv_sorted = pd.Series(cv[order])
-                    keep = order[~cv_sorted.duplicated().to_numpy()]
+                    keep = order[~cv_sorted.duplicated().to_numpy()][: ks[qi]]
                 else:
                     keep = order[: ks[qi]]
                 outs.append(
@@ -717,6 +726,7 @@ class SearchEngine:
         import threading
 
         self._vocab_lock = threading.Lock()
+        self._lead_bc_cache: dict[str, object] = {}
         self._vocab_lens: np.ndarray | None = None
         self._vocab_colon: np.ndarray | None = None
         # conv_offsets artifact (dense-docid builds): broadcast (sorted
@@ -1079,6 +1089,13 @@ class SearchEngine:
     LEAD_MAX_DF = 500_000
     LEAD_RATIO = 4
 
+    #: term-keyed cache of lead-docs broadcasts (Lucene caches filter
+    #: bitsets the same way): each entry is ≤ LEAD_MAX_DF int64 ids
+    #: (≤ 4 MB); bounded FIFO so a long-lived engine can't grow without
+    #: limit.  Index immutability per engine instance makes entries
+    #: permanently valid (appends/compactions are opened as new engines).
+    LEAD_CACHE_MAX = 32
+
     def _lead_docs_bc(self, must_terms: set[str], all_terms: set[str]):
         """Broadcast of the rarest must-term's sorted doc ids, or None
         when the skew does not justify the extra (partition-pruned,
@@ -1090,8 +1107,16 @@ class SearchEngine:
         widest = max(dfs.values())
         if dfs[min_t] > self.LEAD_MAX_DF or dfs[min_t] * self.LEAD_RATIO > widest:
             return None
-        ids = self._docs_for_terms({min_t}).toPandas()["doc_id"].to_numpy(np.int64)
-        return self.spark.sparkContext.broadcast(np.sort(ids))
+        bc = self._lead_bc_cache.get(min_t)
+        if bc is None:
+            ids = self._docs_for_terms({min_t}).toPandas()["doc_id"].to_numpy(np.int64)
+            bc = self.spark.sparkContext.broadcast(np.sort(ids))
+            with self._vocab_lock:  # planner threads share the cache
+                if len(self._lead_bc_cache) >= self.LEAD_CACHE_MAX:
+                    old = next(iter(self._lead_bc_cache))
+                    self._lead_bc_cache.pop(old).unpersist(blocking=False)
+                self._lead_bc_cache[min_t] = bc
+        return bc
 
     def _constant_score_docs(
         self,
@@ -1689,6 +1714,8 @@ class SearchEngine:
             else:
                 nonflat.append((qid, k, mode))
         parts = []
+        futures = []
+        ex = None
         if nonflat:
             # non-flat members (phrase/prefix/fuzzy/nested) fall back to
             # per-query plans; BUILD them in parallel driver threads —
@@ -1705,11 +1732,20 @@ class SearchEngine:
                     queries[qid][0], k=k, mode=mode, use_wand=use_wand
                 )
 
-            with ThreadPoolExecutor(max_workers=min(4, len(nonflat))) as ex:
-                for qid, df in ex.map(_plan, nonflat):
-                    parts.append(df.withColumn("query_id", F.lit(qid)))
-        if shared:
-            parts.append(self._search_many_shared(shared))
+            ex = ThreadPoolExecutor(max_workers=min(4, len(nonflat)))
+            futures = [ex.submit(_plan, it) for it in nonflat]
+        try:
+            if shared:
+                # build the shared plan WHILE the non-flat threads work —
+                # both are driver-bound, so overlapping them hides the
+                # shorter latency entirely
+                parts.append(self._search_many_shared(shared))
+            for fut in futures:
+                qid, df = fut.result()
+                parts.append(df.withColumn("query_id", F.lit(qid)))
+        finally:
+            if ex is not None:
+                ex.shutdown(wait=False)
         if not parts:
             return self.spark.createDataFrame([], self.BATCH_SCHEMA)
         out = reduce(lambda a, b: a.unionByName(b), parts)
