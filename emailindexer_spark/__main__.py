@@ -61,7 +61,12 @@ def cmd_search(args) -> int:
     from emailindexer_spark.plans.planner import SearchEngine
 
     spark = _spark(args)
-    eng = SearchEngine(spark, args.index)
+    eng = SearchEngine(
+        spark,
+        args.index,
+        fuzzy_transpositions=args.fuzzy_transpositions,
+        slop_order_tolerant=args.slop_order_tolerant,
+    )
     rows = eng.search(
         args.query, k=args.k, mode=args.mode, use_wand=args.wand, with_text=args.text
     ).collect()
@@ -79,7 +84,12 @@ def cmd_search_batch(args) -> int:
     from emailindexer_spark.plans.planner import SearchEngine
 
     spark = _spark(args)
-    eng = SearchEngine(spark, args.index)
+    eng = SearchEngine(
+        spark,
+        args.index,
+        fuzzy_transpositions=args.fuzzy_transpositions,
+        slop_order_tolerant=args.slop_order_tolerant,
+    )
     with open(args.queries) as f:
         raw = json.load(f)
     batch = {qid: (q[0], int(q[1]), q[2] if len(q) > 2 else "turns") for qid, q in raw.items()}
@@ -174,6 +184,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", choices=["turns", "conversations"], default="turns")
     s.add_argument("--wand", action=argparse.BooleanOptionalAction, default=None)
     s.add_argument("--text", action="store_true")
+    s.add_argument(
+        "--fuzzy-transpositions",
+        action="store_true",
+        help="Lucene-exact fuzzy metric (OSA: adjacent-transposition credit); "
+        "default is classic Levenshtein (SQL-oracle-verifiable)",
+    )
+    s.add_argument(
+        "--slop-order-tolerant",
+        action="store_true",
+        help="unordered sloppy phrases (minimal-covering-window semantics); "
+        "default is exact-order (SQL-oracle-verifiable)",
+    )
     s.set_defaults(fn=cmd_search)
 
     sb = sub.add_parser(
@@ -182,6 +204,8 @@ def main(argv: list[str] | None = None) -> int:
     sb.add_argument("--index", required=True)
     sb.add_argument("--queries", required=True, help='JSON: {"qid": ["query", k, "mode"], ...}')
     sb.add_argument("--wand", action=argparse.BooleanOptionalAction, default=None)
+    sb.add_argument("--fuzzy-transpositions", action="store_true")
+    sb.add_argument("--slop-order-tolerant", action="store_true")
     sb.set_defaults(fn=cmd_search_batch)
 
     i = sub.add_parser("ingest", help="append a transcript batch to an index")

@@ -61,6 +61,15 @@ class OracleIndex:
     field_stats: dict[str, tuple[int, float]]  # field -> (n_docs, avgdl)
     conv_of: list[str]
     fields: tuple[str, ...]  # fields[0] = default field
+    #: FuzzyQuery distance metric: False = classic Levenshtein (the
+    #: gated default — Spark/DuckDB `levenshtein()` compute the same
+    #: function), True = optimal string alignment (adjacent-
+    #: transposition credit, Lucene FuzzyQuery's own default metric)
+    fuzzy_transpositions: bool = False
+    #: sloppy-phrase order: False = exact-order greedy chain (the gated
+    #: default), True = unordered minimal-covering-window semantics
+    #: (the SpanNearQuery inOrder=false analogue)
+    slop_order_tolerant: bool = False
 
     # legacy single-field accessors (default field)
     @property
@@ -157,6 +166,32 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _osa(a: str, b: str) -> int:
+    """Optimal string alignment (restricted Damerau-Levenshtein):
+    classic edits plus an adjacent-transposition edit, no substring
+    edited twice — Lucene FuzzyQuery's default metric
+    (transpositions=true).  Deliberately a scalar three-row DP,
+    INDEPENDENT of the engine's vectorized implementation, so parity
+    tests compare two derivations of the metric."""
+    la, lb = len(a), len(b)
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i]
+        for j in range(1, lb + 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            if (
+                i >= 2
+                and j >= 2
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                c = min(c, prev2[j - 2] + 1)
+            cur.append(c)
+        prev2, prev = prev, cur
+    return prev[-1]
+
+
 def _field_vocab(ix: OracleIndex, f: str) -> list[tuple[str, str]]:
     """(key, bare term) pairs of one field's posting keys."""
     pref = "" if f == ix.fields[0] else f + ":"
@@ -222,12 +257,13 @@ def _score_leaf(ix: OracleIndex, node: Node) -> dict[int, float]:
         # MAX_FUZZY_EXPANSIONS by boost desc / df desc / term asc, each
         # expansion scored as a BM25 TermQuery whose df is BLENDED to
         # the max df across the selected terms, SHOULD-summed.
+        dist = _osa if ix.fuzzy_transpositions else _levenshtein
         for f in _fields_for(ix, node.field):
             hits = []
             for k, bare in _field_vocab(ix, f):
                 if abs(len(bare) - len(node.text)) > node.max_edits:
                     continue
-                ed = _levenshtein(bare, node.text)
+                ed = dist(bare, node.text)
                 if ed > node.max_edits:
                     continue
                 fb = 1.0 if ed == 0 else 1.0 - ed / min(len(bare), len(node.text))
@@ -284,6 +320,32 @@ def _score_leaf(ix: OracleIndex, node: Node) -> dict[int, float]:
                         for p in termsets[0][d]
                         if all((p + i) in possets[i] for i in range(1, m))
                     )
+                elif ix.slop_order_tolerant:
+                    # unordered minimal-window sweep, written
+                    # independently of the engine's numpy version: merge
+                    # all slots' positions into (pos, slot) events; a
+                    # match is a minimal window covering all m slots
+                    # with width − (m−1) ≤ slop
+                    events = sorted(
+                        (p, i) for i, ts in enumerate(termsets) for p in ts[d]
+                    )
+                    need = [0] * m
+                    covered = lo = freq = 0
+                    for hi, (php, shs) in enumerate(events):
+                        need[shs] += 1
+                        if need[shs] == 1:
+                            covered += 1
+                        while covered == m:
+                            pl, sl = events[lo]
+                            if need[sl] > 1:
+                                need[sl] -= 1
+                                lo += 1
+                                continue
+                            if (php - pl) - (m - 1) <= node.slop:
+                                freq += 1
+                            need[sl] -= 1
+                            covered -= 1
+                            lo += 1
                 else:
                     # exact-order greedy chain (parser.py Phrase.slop):
                     # from each start p0, take the SMALLEST next-slot

@@ -353,15 +353,21 @@ def _decode_docs_only_keyed():
 
 
 def _phrase_score_fn(
-    terms: tuple[str, ...], idf_sum: float, avgdl: float, simple: bool, slop: int = 0
+    terms: tuple[str, ...],
+    idf_sum: float,
+    avgdl: float,
+    simple: bool,
+    slop: int = 0,
+    order_tolerant: bool = False,
 ):
     """mapInPandas over candidate (doc_id, text) → (doc_id, score).
 
     Position-less-index fallback.  slop=0: exact Lucene PhraseQuery
     adjacency; slop>0: the same exact-order greedy-chain semantics as
-    the positions path (see _phrase_match_positions).  idf = sum of
-    constituent term idfs; doc norm re-derived from the text (identical
-    to the indexed norm byte by construction).
+    the positions path (see _phrase_match_positions); order_tolerant:
+    the unordered minimal-window semantics of the same flag there.
+    idf = sum of constituent term idfs; doc norm re-derived from the
+    text (identical to the indexed norm byte by construction).
     """
 
     from emailindexer_spark.functions.tokenizer import tokenize_series
@@ -389,6 +395,40 @@ def _phrase_score_fn(
                     cur = cur.merge(nxt, on=["row", "pos"])
                     if cur.empty:
                         break
+            elif order_tolerant:
+                frames = []
+                for i, t in enumerate(terms):
+                    fi = flat.loc[flat["term"] == t, ["row", "pos"]].copy()
+                    fi["slot"] = np.int64(i)
+                    frames.append(fi)
+                ev = pd.concat(frames, ignore_index=True)
+                nslots = ev.groupby("row")["slot"].nunique()
+                ev = ev[ev["row"].map(nslots).eq(m)]
+                if ev.empty:
+                    continue
+                ev = ev.sort_values(["row", "pos"], kind="stable")
+                rr = ev["row"].to_numpy(np.int64)
+                pp = ev["pos"].to_numpy(np.int64)
+                ss = ev["slot"].to_numpy(np.int64)
+                bnd = np.concatenate(
+                    ([0], np.nonzero(rr[1:] != rr[:-1])[0] + 1, [rr.size])
+                )
+                od, of = [], []
+                for s_, e_ in zip(bnd[:-1], bnd[1:]):
+                    fq = _count_unordered_windows(pp[s_:e_], ss[s_:e_], m, slop)
+                    if fq:
+                        od.append(int(rr[s_]))
+                        of.append(fq)
+                if not od:
+                    continue
+                ridx = np.asarray(od, dtype=np.int64)
+                f = np.asarray(of, dtype=np.float64)
+                dl = bm25.LENGTH_TABLE[encode_lengths(n[ridx])].astype(np.float64)
+                sc = idf_sum * f / (f + bm25.K1 * (1 - bm25.B + bm25.B * dl / avgdl))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].to_numpy()[ridx], "score": sc}
+                )
+                continue
             else:
                 cur = flat.loc[flat["term"] == terms[0], ["row", "pos"]].rename(
                     columns={"pos": "e"}
@@ -502,7 +542,40 @@ def _decode_positions_stream(phrase_terms: tuple[str, ...], cand_docs=None):
     return gen
 
 
-def _phrase_match_positions(m: int, idf_sum: float, avgdl: float, slop: int = 0):
+def _count_unordered_windows(pos: np.ndarray, slot: np.ndarray, m: int, slop: int) -> int:
+    """Order-tolerant sloppy-phrase match count for ONE doc: the number
+    of MINIMAL windows over the merged (pos, slot) event stream that
+    cover all ``m`` slots with slack (width − (m−1)) ≤ slop — the
+    unordered SpanNearQuery analogue (two-pointer minimal-window sweep;
+    each left boundary contributes at most one minimal window).
+    Documented simplification: a physical position shared by two slots
+    (repeated phrase terms) counts for both."""
+    cnt = np.zeros(m, dtype=np.int64)
+    covered = 0
+    lo = 0
+    out = 0
+    for hi in range(pos.size):
+        s = slot[hi]
+        cnt[s] += 1
+        if cnt[s] == 1:
+            covered += 1
+        while covered == m:
+            s0 = slot[lo]
+            if cnt[s0] > 1:
+                cnt[s0] -= 1
+                lo += 1
+                continue
+            if int(pos[hi] - pos[lo]) - (m - 1) <= slop:
+                out += 1
+            cnt[s0] -= 1
+            covered -= 1
+            lo += 1
+    return out
+
+
+def _phrase_match_positions(
+    m: int, idf_sum: float, avgdl: float, slop: int = 0, order_tolerant: bool = False
+):
     """mapInPandas over doc_id-partitioned (doc, slot, tf, pos_bytes)
     rows → scores.
 
@@ -518,6 +591,12 @@ def _phrase_match_positions(m: int, idf_sum: float, avgdl: float, slop: int = 0)
       sufficient: taking the smallest feasible p_i keeps every later
       choice open), pruning when p_i > p_0 + i + slop; freq = surviving
       start positions per doc.
+    * ``slop > 0, order_tolerant=True`` — opt-in unordered semantics
+      (SearchEngine(slop_order_tolerant=True)): terms may appear in ANY
+      order; freq = minimal covering windows with slack ≤ slop
+      (:func:`_count_unordered_windows`), parity-tested against the
+      pure-Python oracle's independent implementation.  Not the gated
+      default because no SQL oracle can verify it (SURVEY §2.9).
 
     Score is the standard BM25 partial with the SUMMED constituent idf
     (Lucene PhraseWeight).  The whole partition is concatenated first: a
@@ -559,6 +638,42 @@ def _phrase_match_positions(m: int, idf_sum: float, avgdl: float, slop: int = 0)
             if cur.empty:
                 return
             g = cur.groupby("doc_id").agg(freq=("pos", "size"), norm=("norm", "first"))
+        elif order_tolerant:
+            frames = []
+            norms = None
+            for i in range(m):
+                fi = slot_frame(i, shift=False)
+                if fi.empty:
+                    return  # a missing slot term matches nothing
+                if i == 0:
+                    norms = fi[["doc_id", "norm"]].drop_duplicates("doc_id")
+                    fi = fi.drop(columns=["norm"])
+                fi["slot"] = np.int64(i)
+                frames.append(fi)
+            ev = pd.concat(frames, ignore_index=True)
+            # candidate docs must hold ALL slots — prune before the sweep
+            nslots = ev.groupby("doc_id")["slot"].nunique()
+            ev = ev[ev["doc_id"].map(nslots).eq(m)]
+            if ev.empty:
+                return
+            ev = ev.sort_values(["doc_id", "pos"], kind="stable")
+            docs = ev["doc_id"].to_numpy(np.int64)
+            pos = ev["pos"].to_numpy(np.int64)
+            slots = ev["slot"].to_numpy(np.int64)
+            bounds = np.concatenate(
+                ([0], np.nonzero(docs[1:] != docs[:-1])[0] + 1, [docs.size])
+            )
+            out_docs, out_freq = [], []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                fq = _count_unordered_windows(pos[s:e], slots[s:e], m, slop)
+                if fq:
+                    out_docs.append(int(docs[s]))
+                    out_freq.append(fq)
+            if not out_docs:
+                return
+            g = pd.DataFrame({"doc_id": out_docs, "freq": out_freq}).merge(
+                norms, on="doc_id"
+            ).set_index("doc_id")
         else:
             cur = slot_frame(0, shift=False).rename(columns={"pos": "e"})
             cur["p0"] = cur["e"]
@@ -675,17 +790,41 @@ class SearchEngine:
     #: stat/expansion lookup falls back to vocab-scale Spark jobs.
     VOCAB_DRIVER_MAX_ROWS = 5_000_000
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        fuzzy_transpositions: bool = False,
+        slop_order_tolerant: bool = False,
+    ):
         self.spark = spark
         self.index_dir = index_dir
+        # opt-in unordered sloppy phrase ("a b"~k matches "b … a"):
+        # minimal-covering-window semantics (the SpanNearQuery
+        # inOrder=false analogue), parity-tested against the pure-Python
+        # oracle.  Default stays EXACT-ORDER because only that choice is
+        # independently verifiable by the SQL gate (SURVEY §2.9).
+        self.slop_order_tolerant = bool(slop_order_tolerant)
+        # FuzzyQuery distance metric: False = classic Levenshtein (the
+        # default — independently verifiable by SQL oracles, since Spark
+        # and DuckDB `levenshtein()` compute the same function); True =
+        # optimal string alignment (adjacent-transposition credit),
+        # Lucene FuzzyQuery's own default (transpositions=true,
+        # FuzzyQuery defaults; EmailIndexSearcher.java:49-53 uses the
+        # parser default).  Same expansion/rewrite machinery either way.
+        self.fuzzy_transpositions = bool(fuzzy_transpositions)
         self.man = Manifest.load_or_create(index_dir)
         if "n_docs" not in self.man.stats:
             raise ValueError(f"{index_dir} has no completed build")
         # heal a compact crashed mid-swap (postings renamed away but the
-        # new dir not yet moved in) BEFORE touching the postings dir
+        # new dir not yet moved in) BEFORE touching the postings dir;
+        # then publish any append that committed its manifest entry but
+        # crashed before renaming its hidden files visible
         from emailindexer_spark.streaming.compact import _repair_partial
+        from emailindexer_spark.streaming.ingest import repair_ingest_visibility
 
         _repair_partial(self.man)
+        repair_ingest_visibility(self.man)
         self.num_parts = int(self.man.params.get("num_parts", 32))
         self.simple = bool(self.man.params.get("simple_tokens", False))
         self.positions = bool(self.man.params.get("positions", False))
@@ -1194,7 +1333,9 @@ class SearchEngine:
             if band.size == 0:
                 return []
             bare = [terms[i][len(pref):] for i in band] if pref else list(terms[band])
-            d = _levenshtein_batch(bare, text)
+            d = _levenshtein_batch(
+                bare, text, transpositions=self.fuzzy_transpositions
+            )
             keep = d <= max_edits
             hit = band[keep]
             eds = {int(i): int(e) for i, e in zip(hit, d[keep])}
@@ -1220,10 +1361,17 @@ class SearchEngine:
             if pref
             else ~F.col("term").contains(":")
         )
+        # Spark-side pre-filter.  Classic metric: exact (Spark
+        # `levenshtein` IS the metric).  OSA: Spark has no transposition-
+        # aware distance, but OSA ≤ k ⟹ classic ≤ 2k (one transposition
+        # costs at most two classic edits), so classic ≤ 2k plus the
+        # length band is a SUPERSET pre-filter; exact OSA re-filters the
+        # collected (vocab-band-sized, tiny) candidate list driver-side.
+        lev_bound = 2 * max_edits if self.fuzzy_transpositions else max_edits
         pred = (
             scope
             & (F.abs(F.length(bare) - F.lit(len(text))) <= max_edits)
-            & (F.levenshtein(bare, F.lit(text)) <= max_edits)
+            & (F.levenshtein(bare, F.lit(text)) <= lev_bound)
         )
         rows = (
             src.where(pred)
@@ -1234,6 +1382,14 @@ class SearchEngine:
         scored = [
             (r["term"], int(r["ed"]), int(r["df"])) for r in rows
         ]
+        if self.fuzzy_transpositions and scored:
+            cand_bare = [t[len(pref):] for t, _e, _d in scored]
+            osa = _levenshtein_batch(cand_bare, text, transpositions=True)
+            scored = [
+                (t, int(e), dfv)
+                for (t, _e, dfv), e in zip(scored, osa)
+                if e <= max_edits
+            ]
         scored.sort(
             key=lambda t: (
                 -self._fuzzy_boost(t[0][len(pref):], text, t[1]),
@@ -1402,7 +1558,11 @@ class SearchEngine:
                 nparts = self._serve_parts(sum(self.term_dfs(terms).values()))
                 scored = stream.repartition(nparts, "doc_id").mapInPandas(
                     _phrase_match_positions(
-                        len(node.terms), idf_sum, field_avgdl, node.slop
+                        len(node.terms),
+                        idf_sum,
+                        field_avgdl,
+                        node.slop,
+                        order_tolerant=self.slop_order_tolerant and node.slop > 0,
                     ),
                     SCORE_SCHEMA,
                 )
@@ -1422,7 +1582,14 @@ class SearchEngine:
             )
             cand_text = cand.join(self.doc_index.select("doc_id", "text"), "doc_id")
             scored = cand_text.mapInPandas(
-                _phrase_score_fn(node.terms, idf_sum, self.avgdl, self.simple, node.slop),
+                _phrase_score_fn(
+                    node.terms,
+                    idf_sum,
+                    self.avgdl,
+                    self.simple,
+                    node.slop,
+                    order_tolerant=self.slop_order_tolerant and node.slop > 0,
+                ),
                 SCORE_SCHEMA,
             )
             return scored.withColumn("score", F.col("score") * F.lit(node.boost))

@@ -133,6 +133,58 @@ def test_fuzzy_wildcard_slop_parity(engine, oracle_ix):
     assert nonempty >= 7  # the fixture corpus must exercise these
 
 
+def test_fuzzy_osa_parity(spark, index_dir, oracle_ix, engine):
+    # Lucene-exact fuzzy metric behind SearchEngine(fuzzy_transpositions=
+    # True): optimal string alignment (adjacent-transposition credit) —
+    # engine's vectorized DP vs the oracle's INDEPENDENT scalar _osa.
+    # "qojeam" is "qojema" with the last two chars swapped: OSA distance
+    # 1 (matches at ~1), classic distance 2 (does not) — so the two
+    # metrics must also provably diverge on this corpus.
+    eng_osa = SearchEngine(spark, index_dir, fuzzy_transpositions=True)
+    queries = ["qojeam~1", "qojeam~2", "fuhepi~1 qojeam~1", "ugka~1"]
+    oracle_ix.fuzzy_transpositions = True
+    try:
+        nonempty = 0
+        for q in queries:
+            exp = osearch(oracle_ix, q, k=20)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in eng_osa.search(q, k=20, use_wand=False).collect()
+            ]
+            _assert_match(got, exp, f"osa:{q}")
+            nonempty += bool(got)
+        assert nonempty >= 2
+        osa_docs = {d for d, _ in osearch(oracle_ix, "qojeam~1", k=2000)}
+    finally:
+        oracle_ix.fuzzy_transpositions = False
+    classic_docs = {
+        r["doc_id"] for r in engine.search("qojeam~1", k=2000, use_wand=False).collect()
+    }
+    classic_exp = {d for d, _ in osearch(oracle_ix, "qojeam~1", k=2000)}
+    assert classic_docs == classic_exp
+    assert osa_docs != classic_docs, "metrics must diverge on a transposed query"
+
+
+def test_fuzzy_osa_spark_fallback_parity(spark, index_dir, oracle_ix):
+    # vocab above the driver cap → the Spark pre-filter (classic ≤ 2k
+    # superset) + driver-side exact OSA re-filter must equal the
+    # driver-vocab zero-job path
+    slow = SearchEngine(spark, index_dir, fuzzy_transpositions=True)
+    slow.VOCAB_DRIVER_MAX_ROWS = 0  # force the Spark fallback
+    assert slow._driver_vocab() is None
+    oracle_ix.fuzzy_transpositions = True
+    try:
+        for q in ["qojeam~1", "qojeam~2"]:
+            exp = osearch(oracle_ix, q, k=20)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in slow.search(q, k=20, use_wand=False).collect()
+            ]
+            _assert_match(got, exp, f"osa-fallback:{q}")
+    finally:
+        oracle_ix.fuzzy_transpositions = False
+
+
 def test_fuzzy_expansion_zero_jobs(engine, spark):
     # driver-vocab expansion: planning a query with SEVERAL fuzzy leaves
     # runs ZERO vocab-scan Spark jobs (Lucene walks its in-memory terms
@@ -144,6 +196,45 @@ def test_fuzzy_expansion_zero_jobs(engine, spark):
     df = engine.search("qojema~1 fuhepi~1 guka~1", k=5)  # plan build only
     assert df is not None
     assert len(sc.statusTracker().getJobIdsForGroup("fzjobs")) == 0
+
+
+def test_slop_order_tolerant_parity(spark, index_dir, oracle_ix, engine):
+    # opt-in unordered sloppy phrase (SearchEngine(slop_order_tolerant=
+    # True)): minimal-covering-window semantics — engine (vectorized
+    # positions path AND the re-tokenize fallback) vs the oracle's
+    # independent event-sweep implementation.  The gated default stays
+    # exact-order (SQL-verifiable); this checks the documented opt-in.
+    eng_ot = SearchEngine(spark, index_dir, slop_order_tolerant=True)
+    eng_fb = SearchEngine(spark, index_dir, slop_order_tolerant=True)
+    eng_fb.positions = False  # force the candidate+re-tokenize fallback
+    qs = ['"guka noza"~2', '"guka noza"~4', '"qojema fuhepi"~3', '"noza guka"~1']
+    oracle_ix.slop_order_tolerant = True
+    try:
+        nonempty = 0
+        for q in qs:
+            exp = osearch(oracle_ix, q, k=20)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in eng_ot.search(q, k=20, use_wand=False).collect()
+            ]
+            _assert_match(got, exp, f"ot:{q}")
+            fb = [
+                (r["doc_id"], r["score"])
+                for r in eng_fb.search(q, k=20, use_wand=False).collect()
+            ]
+            _assert_match(fb, exp, f"ot-fallback:{q}")
+            nonempty += bool(got)
+        assert nonempty >= 2
+        ot_docs = {d for d, _ in osearch(oracle_ix, '"guka noza"~2', k=2000)}
+    finally:
+        oracle_ix.slop_order_tolerant = False
+    # the corpus holds "noza guka" pairs (see test_slop_widens_matches):
+    # reversed-order "guka noza"~2 matches them ONLY under the opt-in
+    default_docs = {
+        r["doc_id"]
+        for r in engine.search('"guka noza"~2', k=2000, use_wand=False).collect()
+    }
+    assert ot_docs > default_docs, "unordered slop must widen the reversed phrase"
 
 
 def test_slop_widens_matches(engine, oracle_ix):
