@@ -102,3 +102,15 @@ class Manifest:
         with self._lock:
             self.stats.update(stats)
             self._flush()
+
+    def commit_stage_with_stats(
+        self, stage: str, stats: dict[str, Any], **info: Any
+    ) -> None:
+        """Stats update + stage commit in ONE atomic manifest write — the
+        ingest publish point: a reader must never observe the new corpus
+        statistics without the stage (or vice versa), so both land in
+        the same os.replace."""
+        with self._lock:
+            self.stats.update(stats)
+            self.stages[stage] = {"complete": True, "committed_at": time.time(), **info}
+            self._flush()

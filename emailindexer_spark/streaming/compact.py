@@ -111,6 +111,9 @@ def compact_index(
     if "n_rows" not in man.stats:
         raise ValueError(f"{index_dir} has no completed build")
     _repair_partial(man)
+    from emailindexer_spark.streaming.ingest import repair_ingest_visibility
+
+    repair_ingest_visibility(man)  # publish a committed-but-hidden append
     t0 = time.time()
     num_parts = int(man.params.get("num_parts", 32))
     block_size = int(man.params.get("block_size", 128))

@@ -16,12 +16,20 @@ the same behavior as a Lucene commit making new segments visible.
 
 Exactly-once semantics (Structured Streaming is at-least-once into
 ``foreachBatch``): every batch's files are (1) written into a private
-``_staging/`` directory, (2) moved into the live tables under a
-batch-tagged file prefix, (3) committed in the manifest together with
-the batch id.  A replayed batch whose id is already committed is
-skipped; a crashed half-appended attempt is detected by its tag and its
-partial files are deleted before the rewrite — no duplicate doc_ids,
-postings, or inflated stats survive a retry.
+``_staging/`` directory, (2) moved into the live tables under a HIDDEN
+batch-tagged name (``.{tag}-{file}`` — Spark's parquet reader and the
+engine's ``*.parquet`` globs both skip dot-files, so readers cannot see
+them), (3) committed in the manifest — batch id, tag, and the updated
+corpus statistics in ONE atomic write — and only then (4) renamed
+visible.  MANIFEST-FIRST visibility: a reader opening the index at any
+point before (3) sees exactly the pre-append corpus (old files, old
+stats); after (3) it sees the appended corpus (a crash between (3) and
+(4) is healed by ``repair_ingest_visibility`` — run at every engine
+open and append entry — which un-hides files whose tag the manifest
+records as committed).  A replayed batch whose id is already committed
+is skipped; a crashed half-appended attempt is detected by its tag and
+its partial files (hidden or visible) are deleted before the rewrite —
+no duplicate doc_ids, postings, or inflated stats survive a retry.
 
 ``stream_ingest`` wires this into Structured Streaming via
 ``foreachBatch`` + ``trigger(availableNow)``; ``incremental_append`` is
@@ -55,19 +63,21 @@ def _tag_for(batch_seq: int, batch_id: int | None) -> str:
 
 
 def _remove_tagged(live_dir: str, tag: str) -> None:
-    """Delete files from a crashed prior attempt of the same batch."""
+    """Delete files from a crashed prior attempt of the same batch —
+    both published (``tag-…``) and still-hidden (``.tag-…``) names."""
     if not os.path.isdir(live_dir):
         return
     for root, _dirs, files in os.walk(live_dir):
         for fn in files:
-            if fn.startswith(tag + "-"):
+            if fn.startswith(tag + "-") or fn.startswith("." + tag + "-"):
                 os.remove(os.path.join(root, fn))
 
 
 def _move_staged(staged_dir: str, live_dir: str, tag: str) -> None:
-    """Move staged parquet files into the live table, preserving
-    partition subdirectories (``part=K/``) and tagging file names so a
-    retry can identify this batch's files."""
+    """Move staged parquet files into the live table under a HIDDEN
+    dot-prefixed tagged name (invisible to Spark and to the engine's
+    ``*.parquet`` globs until published), preserving partition
+    subdirectories (``part=K/``)."""
     if not os.path.isdir(staged_dir):
         return
     for root, _dirs, files in os.walk(staged_dir):
@@ -77,7 +87,42 @@ def _move_staged(staged_dir: str, live_dir: str, tag: str) -> None:
                 continue
             dst_dir = live_dir if rel == "." else os.path.join(live_dir, rel)
             os.makedirs(dst_dir, exist_ok=True)
-            os.replace(os.path.join(root, fn), os.path.join(dst_dir, f"{tag}-{fn}"))
+            os.replace(os.path.join(root, fn), os.path.join(dst_dir, f".{tag}-{fn}"))
+
+
+def _unhide_tagged(live_dir: str, tag: str) -> None:
+    """Publish a committed batch's hidden files (rename ``.tag-…`` →
+    ``tag-…``).  Idempotent: already-published files are untouched."""
+    if not os.path.isdir(live_dir):
+        return
+    for root, _dirs, files in os.walk(live_dir):
+        for fn in files:
+            if fn.startswith("." + tag + "-"):
+                os.replace(os.path.join(root, fn), os.path.join(root, fn[1:]))
+
+
+def repair_ingest_visibility(man: Manifest) -> None:
+    """Heal a crash between manifest commit and publish: un-hide files
+    whose batch tag the manifest records as committed.  Hidden files
+    with UNCOMMITTED tags are left alone — they belong to an in-flight
+    or crashed-uncommitted append and stay invisible (the writer's
+    retry deletes them).  Run at engine open and append entry; a no-op
+    scan of the table directories when nothing is pending."""
+    committed = {
+        st["tag"]
+        for name, st in man.stages.items()
+        if name.startswith("ingest_") and st.get("complete") and st.get("tag")
+    }
+    for t in _TABLES:
+        live = man.stage_path(t)
+        if not os.path.isdir(live):
+            continue
+        for root, _dirs, files in os.walk(live):
+            for fn in files:
+                if fn.startswith(".ing") and "-" in fn:
+                    tag = fn[1:].split("-", 1)[0]
+                    if tag in committed:
+                        os.replace(os.path.join(root, fn), os.path.join(root, fn[1:]))
 
 
 def incremental_append(
@@ -92,10 +137,12 @@ def incremental_append(
     man = Manifest.load_or_create(index_dir)
     if "n_rows" not in man.stats:
         raise ValueError(f"{index_dir} has no completed base build")
-    # heal a compact crashed mid-swap before touching the postings dir
+    # heal a compact crashed mid-swap before touching the postings dir,
+    # and publish any committed-but-still-hidden prior append
     from emailindexer_spark.streaming.compact import _repair_partial
 
     _repair_partial(man)
+    repair_ingest_visibility(man)
     # Replay detection is O(1) in manifest size: Structured Streaming
     # batch ids are monotonically increasing per checkpoint, so a
     # high-watermark covers them exactly.  A direct incremental_append()
@@ -198,9 +245,13 @@ def incremental_append(
     finally:
         with_ids.unpersist(blocking=False)
 
-    # publish: move staged files into the live tables, then commit the
-    # manifest (readers racing the moves may briefly see uncommitted
-    # docs with stale stats; a crash here is repaired by the retry path)
+    # publish, MANIFEST-FIRST: (1) move staged files into the live
+    # tables under hidden dot-prefixed names — readers cannot see them;
+    # (2) commit stats + stage + tag in ONE atomic manifest write;
+    # (3) rename the batch's files visible.  A reader opening the index
+    # at any point before (2) sees exactly the pre-append corpus; a
+    # crash between (2) and (3) is healed by repair_ingest_visibility
+    # at the next engine open or append.
     for t in _TABLES:
         _move_staged(os.path.join(staging, t), man.stage_path(t), tag)
     shutil.rmtree(os.path.join(index_dir, "_staging", tag), ignore_errors=True)
@@ -223,17 +274,24 @@ def incremental_append(
             "n_docs": int(prev["n_docs"]) + int(agg[f"n_{fld}"] or 0),
             "total_tokens": int(prev["total_tokens"]) + int(agg[f"total_{fld}"] or 0),
         }
-    man.set_stats(
-        n_rows=base + n_batch,
-        max_doc_id=base + n_batch - 1,
-        n_docs=int(man.stats["n_docs"]) + int(agg[f"n_{f0}"] or 0),
-        total_tokens=int(man.stats["total_tokens"]) + int(agg[f"total_{f0}"] or 0),
-        ingest_batches=batch_seq,
-        committed_batch_ids=committed,
-        last_committed_batch_id=watermark,
-        field_stats=fstats,
+    man.commit_stage_with_stats(
+        f"ingest_{batch_seq:06d}",
+        {
+            "n_rows": base + n_batch,
+            "max_doc_id": base + n_batch - 1,
+            "n_docs": int(man.stats["n_docs"]) + int(agg[f"n_{f0}"] or 0),
+            "total_tokens": int(man.stats["total_tokens"])
+            + int(agg[f"total_{f0}"] or 0),
+            "ingest_batches": batch_seq,
+            "committed_batch_ids": committed,
+            "last_committed_batch_id": watermark,
+            "field_stats": fstats,
+        },
+        rows=n_batch,
+        tag=tag,
     )
-    man.commit_stage(f"ingest_{batch_seq:06d}", rows=n_batch)
+    for t in _TABLES:
+        _unhide_tagged(man.stage_path(t), tag)
     return man
 
 

