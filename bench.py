@@ -217,7 +217,15 @@ def main() -> None:
     qsec["_suite_batched_qps"] = round(len(batch) / batch_sec, 2)
     qsec["_suite_batched_hits"] = n_hits
     qjobs["_suite_batched"] = len(sc.statusTracker().getJobIdsForGroup("_batch"))
+    gw = sc._gateway
     spark.stop()
+    # fully shut down the query session's JVM gateway: stop() alone
+    # leaves a ~4 GB idle JVM attached to this process for the rest of
+    # the run, co-tenant with the scaling legs measured next
+    try:
+        gw.shutdown()
+    except Exception:
+        pass
 
     scaling = {}
     if not SKIP_SCALING:

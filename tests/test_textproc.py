@@ -209,5 +209,35 @@ def test_duplicate_components_chain(spark):
         [(1, 2), (2, 3), (10, 11), (30, 11), (50, 51)],
         "id_a long, id_b long",
     )
-    got = {r["id"]: r["rep"] for r in duplicate_components(pairs).collect()}
+    st: dict = {}
+    got = {
+        r["id"]: r["rep"] for r in duplicate_components(pairs, status=st).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 10, 50: 50, 51: 50}
+    # convergence is probed once per check_every rounds, not per round —
+    # one changed-count ACTION per k lazy propagation rounds
+    assert st["checks"] <= -(-st["rounds"] // 3) and st["checks"] >= 1
+
+
+def test_duplicate_components_long_chain_batched_checks(spark):
+    # a diameter-7 path needs several propagation rounds; with
+    # check_every=3 the action count must be ceil(rounds/3), and the
+    # clustering must equal the per-round-checked run
+    from emailindexer_spark.operators.dedup import duplicate_components
+
+    edges = [(i, i + 1) for i in range(1, 8)]  # 1-2-3-...-8
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    st3: dict = {}
+    got3 = {
+        r["id"]: r["rep"]
+        for r in duplicate_components(pairs, check_every=3, status=st3).collect()
+    }
+    st1: dict = {}
+    got1 = {
+        r["id"]: r["rep"]
+        for r in duplicate_components(pairs, check_every=1, status=st1).collect()
+    }
+    assert got3 == got1 == {i: 1 for i in range(1, 9)}
+    assert st3["checks"] == -(-st3["rounds"] // 3)
+    assert st1["checks"] == st1["rounds"]
+    assert st3["checks"] < st1["checks"]
