@@ -330,6 +330,66 @@ def test_randomized_query_parity(engine, oracle_ix, corpus_pdf):
     assert checked == 30 and nonempty >= 15
 
 
+def test_randomized_query_parity_optin_semantics(spark, index_dir, oracle_ix, corpus_pdf):
+    # the same seeded grammar fuzz with BOTH round-5 opt-ins enabled
+    # (OSA fuzzy + unordered slop) on engine AND oracle: the two
+    # independent implementations must agree across random node-type
+    # interactions (transposed fuzzy under NOT, unordered phrase as
+    # MUST, ...), not just on the handcrafted cases.
+    import numpy as np
+
+    from emailindexer_spark.functions.tokenizer import tokenize
+
+    eng = SearchEngine(
+        spark, index_dir, fuzzy_transpositions=True, slop_order_tolerant=True
+    )
+    rng = np.random.default_rng(777)
+    vocab = sorted({t for txt in corpus_pdf["text"].head(300) for t in tokenize(txt)})
+    vocab = [t for t in vocab if len(t) >= 4]
+
+    def swap(t: str) -> str:  # adjacent transposition — OSA-visible
+        i = int(rng.integers(0, len(t) - 1))
+        return t[:i] + t[i + 1] + t[i] + t[i + 2:]
+
+    def leaf() -> str:
+        t = str(rng.choice(vocab))
+        r = rng.random()
+        if r < 0.35:
+            return swap(t) + "~1"  # transposed fuzzy
+        if r < 0.70:
+            a, b = str(rng.choice(vocab)), t
+            return f'"{a} {b}"~{int(rng.integers(1, 4))}'  # unordered slop
+        return t
+
+    oracle_ix.fuzzy_transpositions = True
+    oracle_ix.slop_order_tolerant = True
+    try:
+        checked = nonempty = 0
+        for _ in range(25):
+            parts = []
+            for _i in range(int(rng.integers(1, 4))):
+                p = leaf()
+                r = rng.random()
+                if r < 0.12:
+                    p = "+" + p
+                elif r < 0.24:
+                    p = "-" + p
+                parts.append(p)
+            q = " ".join(parts)
+            exp = osearch(oracle_ix, q, k=20)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in eng.search(q, k=20, use_wand=False).collect()
+            ]
+            _assert_match(got, exp, f"optin:{q}")
+            checked += 1
+            nonempty += bool(got)
+        assert checked == 25 and nonempty >= 10
+    finally:
+        oracle_ix.fuzzy_transpositions = False
+        oracle_ix.slop_order_tolerant = False
+
+
 def test_driver_vocab_fallback_parity(spark, index_dir):
     # the driver-resident vocab makes expansions/df lookups zero-job;
     # forcing the >cap fallback (Spark term_dict jobs) must produce
