@@ -311,6 +311,7 @@ def duplicate_components(
     max_iters: int = 25,
     check_every: int = 3,
     status: dict | None = None,
+    method: str = "label_prop",
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: (id, rep) for
     every id appearing in a pair, rep = the component's minimum id —
@@ -318,9 +319,10 @@ def duplicate_components(
     rest.  Pairs chain transitively (A~B, B~C puts A and C in one
     cluster even when A~C itself is below threshold).
 
-    Min-label propagation: each round every node takes the min of its
-    own and its neighbors' labels — converges in O(component diameter)
-    rounds of one join + one aggregation (no driver-side graph state).
+    ``method="label_prop"`` (default) — min-label propagation: each
+    round every node takes the min of its own and its neighbors'
+    labels — converges in O(component diameter) rounds of one join +
+    one aggregation (no driver-side graph state).
     Convergence is checked every ``check_every`` rounds, not every
     round: the intermediate rounds stay LAZY (one Spark ACTION — a
     changed-row probe — per check, executing the whole k-round plan as
@@ -329,14 +331,24 @@ def duplicate_components(
     propagation is monotone: extra rounds past convergence are no-ops).
     Raises after ``max_iters`` non-converged rounds rather than
     returning partial clusters.  Diameters of near-dup clusters are
-    tiny in practice (dup chains are short); for adversarial long-path
-    graphs at 10^12 scale the standard fix is pointer-doubling /
-    large-star-small-star (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC 2014) — same join-shape, fewer rounds.
+    tiny in practice (dup chains are short).
+
+    ``method="star"`` — alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): O(log² n) rounds worst-case instead of O(diameter), the
+    answer for ADVERSARIAL long-path dup graphs at 10^12 scale where a
+    diameter-bound method would need thousands of rounds.  Same
+    join+aggregate shape per round (no driver-side graph state), edge
+    set shrinks toward stars rooted at each component's min id.
 
     ``status``, when given, is filled with {"rounds": R, "checks": C}
-    so callers/tests can verify C ≤ ceil(R / check_every).
+    so callers/tests can verify C ≤ ceil(R / check_every) (label_prop)
+    or R ≪ diameter (star).
     """
+    if method == "star":
+        return _star_components(pairs, id_a, id_b, max_iters, status)
+    if method != "label_prop":
+        raise ValueError(f"unknown method {method!r} (label_prop | star)")
     check_every = max(1, int(check_every))
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
@@ -344,9 +356,19 @@ def duplicate_components(
         .distinct()
         .persist()
     )
+    # label state at the last convergence check.  localCheckpoint, not
+    # persist: ``cur`` is referenced twice per round (join + union), so
+    # the LOGICAL plan doubles every round — persist truncates
+    # re-execution but not re-analysis, and Catalyst analysis of a
+    # 2^rounds-node tree hangs long before max_iters raises.  Cutting
+    # lineage at every convergence check keeps the analyzed plan
+    # O(check_every) deep; the eager materialization rides the same job
+    # the changed-count probe needs anyway.  (Use reliable
+    # ``checkpoint()`` instead on a cluster that must survive executor
+    # loss mid-algorithm.)
     ref = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("rep", F.col("id"))
-    ).persist()  # label state at the last convergence check
+    ).localCheckpoint(eager=True)
     rounds = checks = 0
     try:
         while rounds < max_iters:
@@ -359,7 +381,7 @@ def duplicate_components(
                     cur.unionByName(prop).groupBy("id").agg(F.min("rep").alias("rep"))
                 )
                 rounds += 1
-            cur = cur.persist()
+            cur = cur.localCheckpoint(eager=True)
             changed = (
                 cur.alias("n")
                 .join(ref.withColumnRenamed("rep", "_old"), "id")
@@ -368,7 +390,6 @@ def duplicate_components(
                 .count()
             )
             checks += 1
-            ref.unpersist(blocking=False)
             ref = cur
             if changed == 0:
                 return ref
@@ -379,3 +400,109 @@ def duplicate_components(
         edges.unpersist(blocking=False)
         if status is not None:
             status.update(rounds=rounds, checks=checks)
+
+
+def _star_components(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iters: int,
+    status: dict | None,
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    SoCC 2014, Algorithm 2 "two-phase").  Each round is two
+    join+groupBy passes over the edge set; the fixed point is a forest
+    of stars whose center is each component's minimum id, reached in
+    O(log² n) rounds regardless of component diameter.
+
+    large-star(u): every neighbor v > u re-attaches to
+    m = min(Γ(u) ∪ {u}).  small-star (on edges directed high→low):
+    every low neighbor — and u itself — re-attaches to m = min(Γ⁻(u)).
+    Both emit only (child > parent) pairs, so the edge set stays in
+    canonical high→low form between phases; connectivity is invariant
+    (every emitted edge is within the component; every dropped edge is
+    implied through m).
+    """
+    all_ids = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .persist()
+    )
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    # canonical high→low
+    cur = (
+        e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    try:
+        while rounds < max_iters:
+            sym = cur.unionByName(
+                cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            # large-star: m(u) = min(Γ(u) ∪ {u}); re-attach v > u to m
+            lmin = (
+                sym.groupBy("a")
+                .agg(F.min("b").alias("_mb"))
+                .select("a", F.least("_mb", F.col("a")).alias("m"))
+            )
+            large = (
+                sym.join(lmin, "a")
+                .where(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .distinct()
+            )  # a > b invariant: b = m ≤ u < a
+            # small-star on high→low edges: m(u) = min of u's low
+            # neighborhood; re-attach the others AND u itself to m
+            smin = large.groupBy("a").agg(F.min("b").alias("m"))
+            # localCheckpoint CUTS LINEAGE, not just caches: ``cur`` is
+            # referenced ~8× per round (sym twice, lmin/smin once each
+            # through their joins), so without truncation the LOGICAL
+            # plan grows 8×/round — Catalyst re-analysis goes
+            # exponential long before the data does.  Iterative
+            # DataFrame algorithms must checkpoint each round (use
+            # reliable ``checkpoint()`` on a cluster that needs
+            # fault-tolerance across executor loss).
+            nxt = (
+                large.join(smin, "a")
+                .where(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .unionByName(smin.select("a", F.col("m").alias("b")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            rounds += 1
+            # fixed point: edge set unchanged (both sets are distinct
+            # high→low pairs, so ⊆ + equal count ⇒ equal)
+            n_new = nxt.count()
+            grew = (
+                nxt.join(cur, ["a", "b"], "left_anti").limit(1).count() > 0
+            )
+            n_old = cur.count()
+            # superseded checkpointed rounds are freed by the
+            # ContextCleaner once unreferenced (a localCheckpointed RDD
+            # cannot be unpersisted safely: its lineage is cut, so a
+            # later reader could not recompute it)
+            cur = nxt
+            if not grew and n_new == n_old:
+                stars = cur.select(
+                    F.col("a").alias("id"), F.col("b").alias("rep")
+                ).groupBy("id").agg(F.min("rep").alias("rep"))
+                return (
+                    all_ids.join(stars, "id", "left")
+                    .select("id", F.coalesce("rep", "id").alias("rep"))
+                )
+        raise RuntimeError(
+            f"duplicate_components(method='star') did not converge "
+            f"in {max_iters} rounds"
+        )
+    finally:
+        all_ids.unpersist(blocking=False)
+        if status is not None:
+            status.update(rounds=rounds, checks=rounds, method="star")

@@ -241,3 +241,51 @@ def test_duplicate_components_long_chain_batched_checks(spark):
     assert st3["checks"] == -(-st3["rounds"] // 3)
     assert st1["checks"] == st1["rounds"]
     assert st3["checks"] < st1["checks"]
+
+
+def test_duplicate_components_star_parity(spark):
+    # star contraction must produce the identical (id, rep) mapping as
+    # label propagation on a seeded random graph (mixed components,
+    # chains, a self-pair, reversed-order pairs)
+    import random
+
+    from emailindexer_spark.operators.dedup import duplicate_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(1, 6)]  # chain
+    edges += [(20, 21), (22, 21), (23, 22)]  # chain given out of order
+    edges += [(40, 40)]  # self-pair: id must still appear, rep = itself
+    nodes = list(range(100, 140))
+    edges += [tuple(rng.sample(nodes, 2)) for _ in range(30)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    lp = {r["id"]: r["rep"] for r in duplicate_components(pairs).collect()}
+    st: dict = {}
+    star = {
+        r["id"]: r["rep"]
+        for r in duplicate_components(pairs, method="star", status=st).collect()
+    }
+    assert star == lp
+    assert st["method"] == "star" and st["rounds"] >= 1
+
+
+def test_duplicate_components_star_beats_diameter(spark):
+    # a diameter-63 path: label propagation needs ~63 rounds (> the
+    # default 25 budget → raises), star contraction converges in
+    # O(log² n) rounds — the adversarial-long-chain case the star
+    # method exists for
+    from emailindexer_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, max_iters=25).collect()
+    st: dict = {}
+    got = {
+        r["id"]: r["rep"]
+        for r in duplicate_components(
+            pairs, method="star", max_iters=25, status=st
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 65)}
+    assert st["rounds"] <= 12  # log-ish, far under the 63-round diameter
