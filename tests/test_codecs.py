@@ -1,0 +1,146 @@
+"""Pure-python media codec tests (no SparkSession needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from emailindexer_spark.functions import codecs as C
+
+
+# ---------------------------------------------------------------- WAV
+
+def test_wav_roundtrip_16bit():
+    rate = 8000
+    t = np.arange(rate) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).reshape(-1, 1).astype(np.float32)
+    samples, r = C.decode_wav(C.encode_wav(x, rate))
+    assert r == rate and samples.shape == x.shape
+    # 16-bit quantization error bound
+    assert np.abs(samples - x).max() < 1.5 / 32768
+
+
+def test_wav_stereo_and_8bit():
+    rate = 4000
+    x = np.stack(
+        [np.linspace(-0.9, 0.9, 100), np.linspace(0.9, -0.9, 100)], axis=1
+    ).astype(np.float32)
+    samples, r = C.decode_wav(C.encode_wav(x, rate))
+    assert samples.shape == (100, 2) and r == rate
+    # hand-built 8-bit unsigned PCM
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(bytes([0, 128, 255]))
+    samples, _ = C.decode_wav(buf.getvalue())
+    assert samples.shape == (3, 1)
+    assert samples[1, 0] == pytest.approx(0.0)
+    assert samples[0, 0] == pytest.approx(-1.0)
+
+
+def test_wav_float32_ieee():
+    # hand-built WAVE_FORMAT_IEEE_FLOAT file (wave module can't write it)
+    import struct
+
+    rate, x = 8000, np.linspace(-1, 1, 64).astype("<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    data = x.tobytes()
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    samples, r = C.decode_wav(payload)
+    assert r == rate and np.allclose(samples.ravel(), x, atol=1e-7)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        C.decode_wav(b"\x01\x02\x03\x04" * 32)
+
+
+# ---------------------------------------------------------------- BMP
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, size=(13, 10, 3), dtype=np.uint8)  # w forces stride pad
+    out = C.decode_bmp(C.encode_bmp(arr))
+    assert np.array_equal(out, arr)
+
+
+def test_bmp_topdown_and_32bit():
+    import struct
+
+    arr = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)  # BGRA source
+    h, w = 2, 3
+    body = arr.reshape(h, w * 4).tobytes()  # stride = 12, already 4-aligned
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(body), 0, 0, 0, 0)
+    out = C.decode_bmp(header + info + body)
+    assert out.shape == (2, 3, 3)
+    # top-down: row 0 of the file IS row 0 of the array; BGR→RGB swap
+    assert out[0, 0, 0] == arr[0, 0, 2] and out[0, 0, 2] == arr[0, 0, 0]
+
+
+# ------------------------------------------------------------- netpbm
+
+def test_netpbm_roundtrip_and_comments():
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_netpbm(C.encode_netpbm(rgb)), rgb)
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert np.array_equal(C.decode_netpbm(C.encode_netpbm(gray)), gray)
+    # header comments are legal netpbm
+    with_comment = b"P5\n# a comment\n6 4\n255\n" + gray.tobytes()
+    assert np.array_equal(C.decode_netpbm(with_comment), gray)
+
+
+# ------------------------------------------------------------- resize
+
+def test_resize_constant_image_stays_constant():
+    arr = np.full((17, 11, 3), 93, dtype=np.uint8)
+    out = C.resize_image(arr, 4, 5)
+    assert out.shape == (5, 4, 3) and (out == 93).all()
+
+
+def test_resize_downsample_means():
+    # 4x4 → 2x2 exact box means
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    arr = np.repeat(a[:, :, None], 3, axis=2)
+    out = C.resize_image(arr, 2, 2)
+    expect = np.array([[2.5, 4.5], [10.5, 12.5]]).round()
+    assert np.array_equal(out[:, :, 0], expect.astype(np.uint8))
+
+
+def test_resize_upsample_shape():
+    arr = np.random.default_rng(2).integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    out = C.resize_image(arr, 9, 6)
+    assert out.shape == (6, 9, 3)
+    # corners preserved under nearest-ish upsampling
+    assert out[0, 0, 0] == arr[0, 0, 0] and out[-1, -1, 0] == arr[-1, -1, 0]
+
+
+# ------------------------------------------------------------ features
+
+def test_audio_features_sine_centroid_orders():
+    rate = 8000
+    t = np.arange(rate) / rate
+    lo = C.audio_features(np.sin(2 * np.pi * 200 * t).reshape(-1, 1), rate)
+    hi = C.audio_features(np.sin(2 * np.pi * 2000 * t).reshape(-1, 1), rate)
+    assert lo.shape == (16,) and hi.shape == (16,)
+    # same amplitude → same RMS; higher frequency → higher centroid + zcr
+    assert lo[0] == pytest.approx(hi[0], rel=1e-3)
+    assert hi[1] > lo[1] and hi[2] > lo[2]
+
+
+def test_image_features_bright_vs_dark():
+    bright = C.image_features(np.full((8, 8, 3), 250, dtype=np.uint8))
+    dark = C.image_features(np.full((8, 8, 3), 5, dtype=np.uint8))
+    assert bright.shape == (16,)
+    assert bright[:16].max() <= 1.0 and (bright[:4] > dark[:4]).all()

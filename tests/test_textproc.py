@@ -195,9 +195,69 @@ def test_multimodal_plumbing(spark):
 
 
 def test_multimodal_stub_raises_without_codec(spark):
-    media = MM.make_fake_media(spark, n=3)
+    # png genuinely has no codec in this container → loud error
+    media = MM.make_fake_media(spark, n=1)  # row 0 is image/png
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         MM.extract_features(media, fake=False).collect()
+
+
+def test_multimodal_real_features_match_local(spark):
+    """WAV/BMP/PPM payloads decode for REAL (fake=False) and the Spark
+    mapInPandas path reproduces the locally-computed features exactly."""
+    from emailindexer_spark.functions import codecs as C
+
+    media = MM.make_real_media(spark, n=12)
+    rows = {r["media_id"]: r for r in media.collect()}
+    feats = {r["media_id"]: r for r in MM.extract_features(media, fake=False).collect()}
+    assert set(feats) == set(rows) and len(rows) == 12
+    for mid, r in rows.items():
+        if r["kind"] == "audio":
+            samples, rate = C.decode_wav(bytes(r["media"]))
+            expect = C.audio_features(samples, rate, 16)
+        else:
+            arr = C.decode_image(bytes(r["media"]), r["meta"]["format"])
+            expect = C.image_features(arr, 16)
+        got = np.asarray(feats[mid]["feature"], dtype=np.float32)
+        assert np.allclose(got, expect, atol=1e-6), mid
+        assert feats[mid]["n_bytes"] == len(bytes(r["media"]))
+
+
+def test_multimodal_resize_images(spark):
+    from emailindexer_spark.functions import codecs as C
+
+    media = MM.make_real_media(spark, n=12)
+    out = {r["media_id"]: r for r in MM.resize_images(media, 6, 5).collect()}
+    imgs = [r for r in media.collect() if r["kind"] == "image"]
+    assert set(out) == {r["media_id"] for r in imgs} and len(imgs) == 8
+    for r in imgs:
+        dec = C.decode_bmp(bytes(out[r["media_id"]]["media"]))
+        assert dec.shape == (5, 6, 3)
+        # resize of a resize is idempotent at the same dims
+        expect = C.resize_image(
+            C.decode_image(bytes(r["media"]), r["meta"]["format"]), 6, 5
+        )
+        assert np.array_equal(dec, expect)
+
+
+def test_multimodal_audio_windows(spark):
+    from emailindexer_spark.functions import codecs as C
+
+    media = MM.make_real_media(spark, n=12)
+    wins = MM.sample_audio_windows(media, window_ms=250).collect()
+    auds = [r for r in media.collect() if r["kind"] == "audio"]
+    assert {r["media_id"] for r in wins} == {r["media_id"] for r in auds}
+    by_id = {}
+    for w in wins:
+        by_id.setdefault(w["media_id"], []).append(w)
+    for r in auds:
+        samples, rate = C.decode_wav(bytes(r["media"]))
+        expect_n = -(-samples.shape[0] // (rate * 250 // 1000))  # ceil
+        got = sorted(by_id[r["media_id"]], key=lambda w: w["window_idx"])
+        assert len(got) == expect_n
+        assert [w["window_idx"] for w in got] == list(range(expect_n))
+        # a 0.5-amplitude sine has RMS ≈ 0.35 in full windows
+        assert got[0]["rms"] == pytest.approx(0.3536, abs=0.02)
+        assert all(w["start_ms"] == i * 250 for i, w in enumerate(got))
 
 
 def test_duplicate_components_chain(spark):
