@@ -952,6 +952,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frames"] = multimodal_frames
 
+    def _real_media(spark, sf_dir):
+        # first 45 doc_ids → executor-side deterministic WAV/BMP/PPM
+        # synthesis (multimodal.synth_media_row); the oracle generator
+        # replays the identical pure function driver-side and inlines
+        # the expected outputs as literals (same pattern as the IVF
+        # centroid inlining)
+        from emailindexer_spark.operators import multimodal as MM
+
+        ids = _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(45)
+        return MM.media_from_ids(ids)
+
+    def multimodal_real_features(spark, sf_dir):
+        # REAL codec gate: decode WAV/BMP/PPM payloads distributed,
+        # extract signal features; first 4 feature components truncated
+        # to 5 decimals (floor in double — bit-identical to the Python
+        # math.floor the oracle generator uses)
+        from emailindexer_spark.operators import multimodal as MM
+
+        out = MM.extract_features(_real_media(spark, sf_dir), fake=False, dim=8)
+
+        def trunc(i):
+            x = F.element_at("feature", i + 1).cast("double")
+            return (F.floor(x * F.lit(100000.0)) / F.lit(100000.0)).alias(f"f{i}")
+
+        return out.select(
+            "media_id", "kind", "n_bytes", trunc(0), trunc(1), trunc(2), trunc(3)
+        ).orderBy("media_id")
+
+    q["multimodal_real_features"] = multimodal_real_features
+
+    def multimodal_resize(spark, sf_dir):
+        # full decode → box-resize → BMP re-encode loop, gated byte-for-
+        # byte via md5 of the re-encoded payload
+        from emailindexer_spark.operators import multimodal as MM
+
+        out = MM.resize_images(_real_media(spark, sf_dir), 8, 8)
+        return out.select(
+            "media_id", "width", "height", F.md5("media").alias("bmp_md5")
+        ).orderBy("media_id")
+
+    q["multimodal_resize"] = multimodal_resize
+
     return q
 
 
@@ -1593,5 +1635,66 @@ fr AS (
 SELECT media_id, frame_idx,
        to_base64(encode(substring(body, CAST(frame_idx * step + 1 AS INT), CAST(step AS INT)))) AS frame_b64
 FROM fr ORDER BY media_id, frame_idx"""
+
+    # ---------------- REAL-codec gates (inlined expected literals) ----
+    # synth_media_row is a pure function of doc_id, so the oracle
+    # generator replays it driver-side (decode + feature + resize via
+    # the SAME functions/codecs.py the executors run) and inlines the
+    # expected outputs.  doc_ids come from the gated corpus: env
+    # SPARK_GRAFT_GATE_SF_DIR (default the driver's fixed sf0.01).
+    _mm_docs_pq = os.path.join(
+        os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    if os.path.exists(_mm_docs_pq):
+        import hashlib as _hl
+        import math as _math
+
+        import pyarrow.parquet as _papq
+
+        from emailindexer_spark.functions import codecs as _cdx
+        from emailindexer_spark.operators import multimodal as _MM
+
+        _mm_ids = sorted(
+            _papq.read_table(_mm_docs_pq, columns=["doc_id"])
+            .to_pandas()["doc_id"]
+            .astype(int)
+            .tolist()
+        )[:45]
+
+        def _mm_trunc(x: float) -> str:
+            # floor(x*1e5)/1e5 in pure double ops — bit-identical to the
+            # Spark column expression; repr round-trips the double
+            return repr(_math.floor(float(x) * 100000.0) / 100000.0)
+
+        _feat_rows, _rez_rows = [], []
+        for _did in _mm_ids:
+            _mid, _kind, _fmt, _payload, _meta = _MM.synth_media_row(_did)
+            _feat = _MM._decode_features(_payload, _kind, _fmt, fake=False, dim=8)
+            _feat_rows.append(
+                f"('{_mid}', '{_kind}', {len(_payload)}, "
+                + ", ".join(_mm_trunc(v) for v in _feat[:4])
+                + ")"
+            )
+            if _kind == "image":
+                _arr = _cdx.decode_image(_payload, _fmt)
+                _bmp = _cdx.encode_bmp(_cdx.resize_image(_arr, 8, 8))
+                _rez_rows.append(
+                    f"('{_mid}', 8, 8, '{_hl.md5(_bmp).hexdigest()}')"
+                )
+
+        o["multimodal_real_features"] = (
+            "SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes, "
+            "CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1, "
+            "CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3 FROM (VALUES "
+            + ", ".join(_feat_rows)
+            + ") AS t(media_id, kind, n_bytes, f0, f1, f2, f3) ORDER BY media_id"
+        )
+        o["multimodal_resize"] = (
+            "SELECT media_id, CAST(width AS INT) AS width, "
+            "CAST(height AS INT) AS height, bmp_md5 FROM (VALUES "
+            + ", ".join(_rez_rows)
+            + ") AS t(media_id, width, height, bmp_md5) ORDER BY media_id"
+        )
 
     return o

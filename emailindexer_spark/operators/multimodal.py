@@ -223,6 +223,64 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> Da
     return df.mapInPandas(gen, FRAME_SCHEMA)
 
 
+def synth_media_row(doc_id: int) -> tuple[str, str, str, bytes, dict]:
+    """Pure deterministic media payload for one doc_id → (media_id, kind,
+    format, payload, meta).  Same bytes whether evaluated on an executor
+    or on the driver — this is what lets the DuckDB gate inline the
+    expected decode/feature/resize outputs as literals while the Spark
+    side genuinely synthesises, decodes and featurises distributed
+    (reference parity: attachments keyed by message id,
+    EmailIndexer.java:71-83; we go further and decode them)."""
+    which = doc_id % 3
+    if which == 0:  # 16-bit PCM WAV, 8 kHz mono sine burst
+        rate = 8000
+        dur_ms = 200 + (doc_id % 7) * 100
+        t = np.arange(rate * dur_ms // 1000, dtype=np.float64) / rate
+        freq = 100.0 + (doc_id % 11) * 97.0
+        payload = codecs.encode_wav(
+            (0.5 * np.sin(2 * np.pi * freq * t)).reshape(-1, 1), rate
+        )
+        meta = {"format": "wav", "width": None, "height": None, "duration_ms": dur_ms}
+        return f"m{doc_id:06d}", "audio", "wav", payload, meta
+    if which == 1:  # 24-bit BMP gradient tile (closed-form, no RNG)
+        w, h = 8 + doc_id % 17, 8 + (doc_id // 3) % 17
+        gx = np.linspace(0, 255, w, dtype=np.float64)
+        gy = np.linspace(0, 255, h, dtype=np.float64)
+        arr = np.stack(
+            [np.add.outer(gy, gx) / 2, np.tile(gx, (h, 1)), np.tile(gy[:, None], (1, w))],
+            axis=2,
+        ).astype(np.uint8)
+        meta = {"format": "bmp", "width": w, "height": h, "duration_ms": None}
+        return f"m{doc_id:06d}", "image", "bmp", codecs.encode_bmp(arr), meta
+    # P6 PPM noise tile, seeded by doc_id only
+    rng = np.random.default_rng((doc_id * 2654435761) % (2**32))
+    w, h = 8 + doc_id % 13, 8 + (doc_id // 5) % 13
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    meta = {"format": "ppm", "width": w, "height": h, "duration_ms": None}
+    return f"m{doc_id:06d}", "image", "ppm", codecs.encode_netpbm(arr), meta
+
+
+def media_from_ids(ids_df: DataFrame) -> DataFrame:
+    """(doc_id) rows → deterministic real-media table (MEDIA_SCHEMA),
+    synthesised executor-side via ``synth_media_row`` — no driver
+    collect, partitioning inherited from the id source."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [synth_media_row(int(d)) for d in pdf["doc_id"]]
+            if rows:
+                yield pd.DataFrame(
+                    {
+                        "media_id": [r[0] for r in rows],
+                        "kind": [r[1] for r in rows],
+                        "media": [r[3] for r in rows],
+                        "meta": [r[4] for r in rows],
+                    }
+                )
+
+    return ids_df.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def make_fake_media(spark, n: int = 32, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for plumbing tests."""
     rng = np.random.default_rng(seed)

@@ -144,3 +144,23 @@ def test_image_features_bright_vs_dark():
     dark = C.image_features(np.full((8, 8, 3), 5, dtype=np.uint8))
     assert bright.shape == (16,)
     assert bright[:16].max() <= 1.0 and (bright[:4] > dark[:4]).all()
+
+
+# ------------------------------------------------- deterministic synth
+
+def test_synth_media_row_deterministic_and_decodable():
+    from emailindexer_spark.operators.multimodal import synth_media_row
+
+    for did in range(12):
+        a = synth_media_row(did)
+        b = synth_media_row(did)
+        assert a[3] == b[3] and a[:3] == b[:3] and a[4] == b[4]
+        mid, kind, fmt, payload, meta = a
+        assert mid == f"m{did:06d}"
+        if kind == "audio":
+            samples, rate = C.decode_wav(payload)
+            assert rate == 8000 and samples.shape[1] == 1
+            assert samples.shape[0] == 8000 * meta["duration_ms"] // 1000
+        else:
+            arr = C.decode_image(payload, fmt)
+            assert arr.shape == (meta["height"], meta["width"], 3)
