@@ -167,11 +167,66 @@ def build_once(master: str, pq_path: str, out_dir: str, shuffle: int) -> float:
     raise RuntimeError(f"bench subprocess failed: {r.stdout[-500:]} {r.stderr[-2000:]}")
 
 
+def host_probe() -> dict:
+    """Host-health canary recorded alongside each measurement group, so
+    environmentally degraded runs are attributable in the recorded JSON
+    (host co-tenancy / hypervisor memory pressure) rather than read as
+    engine regressions.  Two legs, because this host has shown two
+    distinct failure modes on 2026-08-17:
+
+    * ``st`` — single-thread numpy sort/transform seconds (deliberately
+      not BLAS so thread count can't vary it).  Idle floor ≈ 0.27 s;
+      catches plain CPU contention (e.g. the 0.301-efficiency run).
+    * ``par8_eff`` — effective parallelism of 8 allocation-heavy
+      processes (same workload, fresh buffers each iteration).  Idle
+      value ≈ 6-8; observed collapsing to 0.2-0.5 during a co-tenant
+      storm where single-thread time stayed AT the floor while 45% of
+      CPU went to kernel system time (page-allocation path serialized,
+      runnable tasks with half the cores idle) — the mode that inflated
+      32-core builds 5-8x while the old single-thread canary saw
+      nothing."""
+    import multiprocessing as _mp
+
+    import numpy as _np
+
+    def one() -> float:
+        a = _np.random.default_rng(0).standard_normal(4_000_000)
+        t0 = time.time()
+        for _ in range(3):
+            b = _np.sort(a)
+            a = b[::-1] * 1.0000001 + _np.log1p(_np.abs(b))
+        return time.time() - t0
+
+    one()  # untimed warmup: first-use in a process is ~100x slow under
+    #        this container's CPU-burst accounting — that is process
+    #        cold-start, not host load, and would swamp the canary
+    st = min(one() for _ in range(3))
+    with _mp.Pool(8) as p:
+        t0 = time.time()
+        p.map(_probe_work, range(8))
+        wall = time.time() - t0
+    return {"st": round(st, 3), "par8_eff": round(8 * (st / 2) / wall, 1)}
+
+
+def _probe_work(_i) -> float:
+    """Half-size host_probe leg for the parallel probe (module-level so
+    multiprocessing can pickle it)."""
+    import numpy as _np
+
+    a = _np.random.default_rng(0).standard_normal(2_000_000)
+    t0 = time.time()
+    for _ in range(3):
+        b = _np.sort(a)
+        a = b[::-1] * 1.0000001 + _np.log1p(_np.abs(b))
+    return time.time() - t0
+
+
 def main() -> None:
     sf = sf_of(SF_DIR)
     n_turns = max(1000, int(6_000_000 * sf))
     pq = corpus_path(n_turns)
     subs = pick_terms(pq)
+    probes = {"headline": host_probe()}
 
     ix_dir = os.path.join(CACHE, f"bench_ix_{n_turns}")
     t_large = build_once(f"local[{CPUS}]", pq, ix_dir, shuffle=max(CPUS, 32))
@@ -246,6 +301,7 @@ def main() -> None:
         # best-of-2 per leg: single-node wall-clock jitters ±15% run-to-run
         # (page cache, host co-tenancy); the min is the standard low-noise
         # estimator of the machine's actual capability at each level
+        probes["small_leg"] = host_probe()
         t_small = min(
             build_once(
                 f"local[{n_small}]", pq, os.path.join(CACHE, f"bench_ix_n_{n_turns}"), shuffle=max(CPUS, 32)
@@ -255,6 +311,7 @@ def main() -> None:
         # the 4N leg is the contention-sensitive one (a 1-thread run only
         # needs 1 of 32 cores; a 4-thread run degrades whenever co-tenant
         # load grabs cores) — and it is cheap, so take best-of-3
+        probes["large_leg"] = host_probe()
         t_4x = min(
             build_once(
                 f"local[{n_4x}]", pq, os.path.join(CACHE, f"bench_ix_4n_{n_turns}"), shuffle=max(CPUS, 32)
@@ -275,6 +332,7 @@ def main() -> None:
                 "build_sec": round(t_large, 2),
                 "turns_per_sec": round(n_turns / t_large, 1),
             },
+            "host_probe_sec": dict(probes),
         }
         _write_baseline_md(sf, n_turns, t_large, qsec, scaling, qjobs)
 
@@ -292,6 +350,7 @@ def main() -> None:
             "cpus": CPUS,
         },
         "scaling": scaling,
+        "host_probe_sec": probes,
     }
     print(json.dumps(out))
 
@@ -309,6 +368,8 @@ def _scaling_history(scaling) -> list[dict]:
         "build_sec_large": scaling["build_sec_large"],
         "build_sec_cpus": scaling["cpus_leg"]["build_sec"],
     }
+    if "host_probe_sec" in scaling:
+        rec["host_probe_sec"] = scaling["host_probe_sec"]
     with open(hp, "a") as f:
         f.write(json.dumps(rec) + "\n")
     with open(hp) as f:
@@ -352,6 +413,18 @@ def _write_baseline_md(sf, n_turns, t_large, qsec, scaling, qjobs=None) -> None:
         "aggregate shuffle bandwidth), not with threads on one box. The "
         "stages that grow with data (tokenize, posting encode, score) "
         "scale near-linearly 2->8.",
+        "",
+        "## Host-health canary (probe legs, see bench.py host_probe)",
+        "",
+        f"- probes this run: {json.dumps(scaling.get('host_probe_sec', {}))}",
+        "- idle-host reference: st ≈ 0.27 s, par8_eff ≈ 6-8. Runs are only "
+        "comparable at matched probe readings: st far above 0.27 or "
+        "par8_eff below ~2 means the shared host was degraded during that "
+        "group (co-tenant storms on 2026-08-17 collapsed the kernel "
+        "page-allocation path — 45% system time with idle cores — "
+        "inflating 32-thread builds 5-8x while engine code was unchanged; "
+        "history.jsonl retains those runs with their probes so the "
+        "capability number is the probe-clean runs, not a cherry-pick).",
         "",
         "| query | sec | spark jobs |",
         "|---|---|---|",
