@@ -899,6 +899,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter"] = quality_filter
 
+    def pipeline_clean_corpus(spark, sf_dir):
+        # the composed user story a training-data pipeline actually
+        # runs: plant dups → exact-dedup APPLY (canonical survivor per
+        # group, D.deduplicate: one hash shuffle, map-side min_by) →
+        # quality gate → per-source rollup.  sum of per-doc rounded
+        # quality instead of avg: order-independent to well below the
+        # 4-decimal gate rounding
+        d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+        dup = d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+        )
+        kept = D.deduplicate(d.unionByName(dup))
+        good = kept.where(Q.quality_score(F.col("text")) >= 0.5)
+        return (
+            good.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(Q.whitespace_token_count(F.col("text")))
+                .cast("bigint")
+                .alias("total_tokens"),
+                F.round(F.sum(F.round(Q.quality_score(F.col("text")), 4)), 4).alias(
+                    "sum_quality"
+                ),
+            )
+            .orderBy("source")
+        )
+
+    q["pipeline_clean_corpus"] = pipeline_clean_corpus
+
     # ---------------- multimodal plumbing ----------------------------------
     def _media(spark, sf_dir):
         # deterministic media table derived from documents: the text's
@@ -1596,6 +1625,30 @@ FROM documents GROUP BY source ORDER BY source"""
 SELECT doc_id, round({_qual}, 4) AS quality
 FROM documents WHERE ({_qual}) >= 0.7
 ORDER BY doc_id LIMIT 200"""
+
+    o["pipeline_clean_corpus"] = f"""
+WITH dupd AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 7 = 0
+),
+keyed AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+  FROM dupd
+),
+kept AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+    FROM keyed
+  ) WHERE rn = 1
+),
+good AS (SELECT * FROM kept WHERE ({_qual}) >= 0.5)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({_SQL_NTOK}) AS BIGINT) AS total_tokens,
+       round(sum(round({_qual}, 4)), 4) AS sum_quality
+FROM good GROUP BY source ORDER BY source"""
 
     # ---------------- multimodal plumbing ----------------
     _sql_media = """

@@ -62,6 +62,26 @@ def exact_duplicate_groups(
     )
 
 
+def deduplicate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The APPLY step of exact dedup: keep one canonical row (min id)
+    per normalized-text group, preserving every column.
+
+    One hash shuffle on md5(normalized text); the survivor is picked
+    with ``min_by`` over the whole-row struct, so the aggregation gets
+    map-side partial combine — a key duplicated 10^8 times reduces to
+    one candidate row per map partition before the exchange (no window
+    sort, no skew hotspot, no join back)."""
+    cols = df.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    return (
+        df.groupBy(F.md5(normalized(F.col(text_col))).alias("_k"))
+        .agg(F.min_by(row, F.col(id_col)).alias("_r"))
+        .select(*[F.col("_r")[c].alias(c) for c in cols])
+    )
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text (array<string>)."""
     words = F.split(normalized(col), " ")

@@ -349,3 +349,10 @@ def test_duplicate_components_star_beats_diameter(spark):
     }
     assert got == {i: 1 for i in range(1, 65)}
     assert st["rounds"] <= 12  # log-ish, far under the 63-round diameter
+
+
+def test_deduplicate_keeps_canonical_row(docs):
+    kept = D.deduplicate(docs).orderBy("doc_id").collect()
+    # the 0/1/4 normalized-dup group collapses to doc 0; all columns kept
+    assert [r["doc_id"] for r in kept] == [0, 2, 3, 5]
+    assert kept[0]["text"].startswith("the quick") or "quick" in kept[0]["text"].lower()
