@@ -356,3 +356,19 @@ def test_deduplicate_keeps_canonical_row(docs):
     # the 0/1/4 normalized-dup group collapses to doc 0; all columns kept
     assert [r["doc_id"] for r in kept] == [0, 2, 3, 5]
     assert kept[0]["text"].startswith("the quick") or "quick" in kept[0]["text"].lower()
+
+
+def test_robust_fingerprint_order_robust(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta theta"),  # tail edit; min shingle ("beta gamma delta") unchanged
+        (2, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", Q.robust_fingerprint(F.col("text")).alias("fp")).collect()}
+    # min-shingle-hash is stable under an edit far from the minimum
+    # shingle with high probability on this fixture, and differs for
+    # unrelated text
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
