@@ -855,7 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(Q.stopword_ratio(c, "en"), 4).alias("stopword_ratio_en"),
             F.round(Q.mean_word_len(c), 4).alias("mean_word_len"),
             F.round(Q.quality_score(c), 4).alias("quality"),
-            (Q.quality_score(c) >= 0.7).alias("passes_07"),
+            (Q.quality_score(c) >= 0.7).cast("int").alias("passes_07"),
             Q.fingerprint(c).alias("fingerprint"),
         ).orderBy("doc_id")
 
@@ -1573,7 +1573,7 @@ SELECT doc_id,
        round({_swr}, 4) AS stopword_ratio_en,
        round({_mwl}, 4) AS mean_word_len,
        round({_qual}, 4) AS quality,
-       ({_qual}) >= 0.7 AS passes_07,
+       CAST(({_qual}) >= 0.7 AS INT) AS passes_07,
        substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
 FROM documents ORDER BY doc_id"""
 
