@@ -141,6 +141,25 @@ def decode_block(
     return docs, tfs, norms
 
 
+def varbyte_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varbyte-encode ``values`` once, also returning the per-value byte
+    offsets (length n+1, offsets[i] = first byte of value i) so callers
+    can slice the buffer at arbitrary value boundaries without
+    re-encoding.  Each value's encoding is self-contained, so
+    ``buf[offsets[a]:offsets[b]]`` is bit-identical to
+    ``varbyte_encode(values[a:b])``."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    buf = varbyte_encode(v)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    return buf, offsets
+
+
 def varbyte_encode_segments(values: np.ndarray, seg_starts: np.ndarray) -> list[bytes]:
     """Varbyte-encode ``values`` once, returning one bytes object per
     segment (``seg_starts`` = start index of each segment).

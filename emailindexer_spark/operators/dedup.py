@@ -461,6 +461,9 @@ def _star_components(
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    # edge count carried across rounds: nxt's count becomes next round's
+    # n_old, so convergence needs ONE count job per round, not two
+    n_old = cur.count()
     try:
         while rounds < max_iters:
             sym = cur.unionByName(
@@ -504,13 +507,14 @@ def _star_components(
             grew = (
                 nxt.join(cur, ["a", "b"], "left_anti").limit(1).count() > 0
             )
-            n_old = cur.count()
             # superseded checkpointed rounds are freed by the
             # ContextCleaner once unreferenced (a localCheckpointed RDD
             # cannot be unpersisted safely: its lineage is cut, so a
             # later reader could not recompute it)
             cur = nxt
-            if not grew and n_new == n_old:
+            converged = not grew and n_new == n_old
+            n_old = n_new
+            if converged:
                 stars = cur.select(
                     F.col("a").alias("id"), F.col("b").alias("rep")
                 ).groupBy("id").agg(F.min("rep").alias("rep"))

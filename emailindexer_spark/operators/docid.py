@@ -126,12 +126,13 @@ def assign_doc_ids_with_total(
     # Python, broadcast-join.  Skips the range repartition (and its
     # sampling job), the per-partition-sums round-trip, and the
     # mapInPandas cumsum — three fewer serial steps in every build.
-    # conv_counts is persisted so the at-scale path reuses the one
-    # aggregation instead of recomputing it.
-    cc = conv_counts.persist()
-    head = cc.limit(max_broadcast_convs + 1).toPandas()  # Arrow transfer
+    # NOT persisted: the fast path (every bounded corpus) reads the
+    # aggregation exactly once, and persisting it first was measured at
+    # +2.7 s of pure cache/limit machinery per build; the rare at-scale
+    # path re-aggregates once instead (one extra job on >250k-conv
+    # corpora, where the build is hours anyway).
+    head = conv_counts.limit(max_broadcast_convs + 1).toPandas()  # Arrow
     if len(head) <= max_broadcast_convs:
-        cc.unpersist(blocking=False)
         if head["conv_id"].isna().any():
             # a null conv_id would silently vanish in the offsets join
             # (inner join on null never matches) — fail loudly instead
@@ -175,7 +176,7 @@ def assign_doc_ids_with_total(
             )
         return out.drop("conv_offset"), acc
     parted = (
-        cc.repartitionByRange(nparts, "conv_id")
+        conv_counts.repartitionByRange(nparts, "conv_id")
         .sortWithinPartitions("conv_id")
         .persist()
     )
@@ -190,7 +191,6 @@ def assign_doc_ids_with_total(
             )
             .collect()
         )
-        cc.unpersist(blocking=False)  # parted's cache carries on from here
         part_sums = {r["pid"]: r["s"] for r in psums}
         # driver-side prefix sum over at most `nparts` values
         prefix: dict[int, int] = {}

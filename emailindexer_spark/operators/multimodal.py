@@ -72,9 +72,18 @@ def _decode_features(
                 return codecs.image_features(codecs.decode_image(payload, fmt), dim)
             samples, rate = codecs.decode_wav(payload)
             return codecs.audio_features(samples, rate, dim)
-        except (ValueError, EOFError, IndexError, struct.error, wave.Error):
-            # corrupt payload claiming a decodable format: loud at
-            # fake=False, deterministic-fake fallback at fake=True
+        except (
+            ValueError,
+            EOFError,
+            IndexError,
+            struct.error,
+            wave.Error,
+            NotImplementedError,
+        ):
+            # corrupt payload claiming a decodable format — or one whose
+            # sub-variant the codec rejects (compressed/8bpp BMP, 16-bit
+            # netpbm, odd WAV widths): loud at fake=False,
+            # deterministic-fake fallback at fake=True
             if not fake:
                 raise
     if not fake:

@@ -71,6 +71,8 @@ from pyspark.sql import functions as F
 from emailindexer_spark.functions.codec import (
     BLOCK_SIZE,
     encode_blocks,
+    varbyte_decode,
+    varbyte_encode_offsets,
     varbyte_encode_segments,
 )
 from emailindexer_spark.functions.sanitize import remove_quoted_replies
@@ -213,6 +215,271 @@ def _tokenize_to_tf_rows(simple: bool, positions: bool = False, fields: tuple[st
                 yield pd.concat(frames, ignore_index=True)
 
     return gen
+
+
+#: map-side pre-aggregated posting chunks: ONE row per (term, split,
+#: map-batch) instead of one row per (doc, term).  docs ride as
+#: delta+varbyte (first absolute), tfs as varbyte, norms raw, positions
+#: as the tokenizer's segmented varbyte — the wide shuffle carries
+#: ~100× fewer rows and ~5 bytes/posting instead of a 40+-byte Spark row
+#: (guide §2.3 "aggregate before you shuffle" / §8 "move heavy bytes
+#: once"), and the reduce-side JVM sort orders chunk rows, not postings.
+CHUNK_SCHEMA = "term string, split_id int, docs binary, tfs binary, norms binary, pos binary"
+
+
+def _tokenize_term_df_counts(simple: bool, fields: tuple[str, ...] = ("text",)):
+    """mapInPandas for the heavy-term sample: batches → (term, df)
+    partial counts (df = docs containing the term in this batch) —
+    uniques-sized output instead of per-(doc, term) rows."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = []
+            for fi, f in enumerate(fields):
+                prefix = "" if fi == 0 else f + ":"
+                toks = tokenize_series(pdf[f], simple=simple)
+                nlens = toks.str.len().to_numpy(dtype=np.int64)
+                if nlens.sum() == 0:
+                    continue
+                doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+                flat_docs = np.repeat(doc_ids, nlens)
+                flat_terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
+                codes, uniques = pd.factorize(flat_terms)
+                order = np.lexsort((flat_docs, codes))
+                cv, dv = codes[order], flat_docs[order]
+                gmask = np.concatenate(
+                    ([True], (cv[1:] != cv[:-1]) | (dv[1:] != dv[:-1]))
+                )
+                cnt = np.bincount(cv[gmask], minlength=len(uniques))
+                terms_out = (
+                    (prefix + pd.Series(uniques)).to_numpy() if prefix else uniques
+                )
+                frames.append(
+                    pd.DataFrame({"term": terms_out, "df": cnt.astype(np.int64)})
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+    return gen
+
+
+def _tokenize_to_chunk_rows(
+    simple: bool,
+    positions: bool,
+    fields: tuple[str, ...],
+    heavy_bc,
+    n_rows: int,
+):
+    """mapInPandas: (doc_id, <fields...>) batches → packed CHUNK_SCHEMA
+    rows, one per (term, split) per batch.
+
+    All heavy work is vectorized: one lexsort into term-major order, ONE
+    varbyte pass each for docs/tfs/positions with per-value byte offsets
+    (functions/codec.varbyte_encode_offsets), then per-row memoryview
+    slices — the only Python-level loop is over the batch's UNIQUE terms
+    (to apply the heavy-split boundaries), never over tokens or docs.
+    ``heavy_bc`` is a broadcast {term_key: n_splits} from the sample
+    pass; split_id = doc_id // ceil(n_rows / n_splits) exactly as the
+    old broadcast-join computed it."""
+
+    def one_field(pdf: pd.DataFrame, col: str, prefix: str) -> pd.DataFrame | None:
+        toks = tokenize_series(pdf[col], simple=simple)
+        nlens = toks.str.len().to_numpy(dtype=np.int64)
+        if nlens.sum() == 0:
+            return None
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        flat_docs = np.repeat(doc_ids, nlens)
+        flat_terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
+        codes, uniques = pd.factorize(flat_terms)
+        if prefix:
+            uniques = (prefix + pd.Series(uniques)).to_numpy()
+        dl_map = pd.Series(nlens, index=doc_ids)
+        starts = np.concatenate(([0], np.cumsum(nlens[:-1])))
+        flat_pos = np.arange(int(nlens.sum()), dtype=np.int64) - np.repeat(starts, nlens)
+        # term-major (then doc, then position) — each term's postings
+        # become one contiguous run, sliceable into chunk rows
+        order = np.lexsort((flat_pos, flat_docs, codes))
+        cv, dv, pv = codes[order], flat_docs[order], flat_pos[order]
+        gb = np.nonzero((cv[1:] != cv[:-1]) | (dv[1:] != dv[:-1]))[0] + 1
+        gstarts = np.concatenate(([0], gb))
+        gstarts_ext = np.concatenate((gstarts, [dv.size]))
+        tf = np.diff(gstarts_ext).astype(np.int64)
+        gdocs = dv[gstarts]
+        gcodes = cv[gstarts]
+        dl = dl_map.reindex(gdocs).to_numpy(dtype=np.int64)
+        norms_buf = encode_lengths(dl).astype(np.uint8).tobytes()
+        if positions:
+            d = np.diff(pv, prepend=0)
+            d[gstarts] = pv[gstarts]  # per-(doc,term) segment-first absolute
+            pos_buf, pos_offs = varbyte_encode_offsets(d.astype(np.uint64))
+            mv_p = memoryview(pos_buf)
+        # per-term group ranges
+        tb = np.nonzero(gcodes[1:] != gcodes[:-1])[0] + 1
+        tstarts = np.concatenate(([0], tb))
+        tends = np.concatenate((tb, [gstarts.size]))
+        heavy = heavy_bc.value if heavy_bc is not None else {}
+        # final row boundaries in group-index space (heavy terms split
+        # at doc-range edges; docs ascend within a term's run)
+        row_terms: list[str] = []
+        row_sids: list[int] = []
+        bs: list[int] = []
+        be: list[int] = []
+        for ts, te in zip(tstarts, tends):
+            term = uniques[gcodes[ts]]
+            ns = heavy.get(term)
+            if not ns:
+                row_terms.append(term)
+                row_sids.append(0)
+                bs.append(ts)
+                be.append(te)
+                continue
+            span = -(-n_rows // ns)
+            sids = gdocs[ts:te] // span
+            ch = np.nonzero(sids[1:] != sids[:-1])[0] + 1
+            ss = np.concatenate(([0], ch))
+            se = np.concatenate((ch, [sids.size]))
+            for a, b in zip(ss, se):
+                row_terms.append(term)
+                row_sids.append(int(sids[a]))
+                bs.append(ts + int(a))
+                be.append(ts + int(b))
+        bs_a = np.asarray(bs, dtype=np.int64)
+        be_a = np.asarray(be, dtype=np.int64)
+        # docs: delta-encoded with an absolute reset at every ROW start
+        # (negative cross-term diffs are always overwritten — rows never
+        # span terms), ONE varbyte pass + per-row slices
+        dd = np.diff(gdocs, prepend=0)
+        dd[bs_a] = gdocs[bs_a]
+        docs_buf, docs_offs = varbyte_encode_offsets(dd.astype(np.uint64))
+        tfs_buf, tfs_offs = varbyte_encode_offsets(tf.astype(np.uint64))
+        mv_d, mv_t = memoryview(docs_buf), memoryview(tfs_buf)
+        docs_col = [bytes(mv_d[docs_offs[a]:docs_offs[b]]) for a, b in zip(bs_a, be_a)]
+        tfs_col = [bytes(mv_t[tfs_offs[a]:tfs_offs[b]]) for a, b in zip(bs_a, be_a)]
+        norms_col = [norms_buf[a:b] for a, b in zip(bs_a, be_a)]
+        if positions:
+            p0 = pos_offs[gstarts_ext[bs_a]]
+            p1 = pos_offs[gstarts_ext[be_a]]
+            pos_col = [bytes(mv_p[a:b]) for a, b in zip(p0, p1)]
+        else:
+            pos_col = [b""] * len(bs)
+        return pd.DataFrame(
+            {
+                "term": row_terms,
+                "split_id": np.asarray(row_sids, dtype=np.int32),
+                "docs": docs_col,
+                "tfs": tfs_col,
+                "norms": norms_col,
+                "pos": pos_col,
+            }
+        )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = []
+            for fi, f in enumerate(fields):
+                got = one_field(pdf, f, "" if fi == 0 else f + ":")
+                if got is not None:
+                    frames.append(got)
+            if len(frames) == 1:
+                yield frames[0]
+            elif frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return gen
+
+
+def _encode_chunk_runs(block_size: int, num_parts: int):
+    """mapInPandas over CHUNK_SCHEMA rows clustered by (term, split_id)
+    → POSTINGS_SCHEMA rows, byte-identical to the per-token path's
+    output (same encode_blocks over the same doc-sorted content).
+
+    The whole reduce partition is decoded in a handful of vectorized
+    passes (concatenated varbyte streams are self-delimiting, so one
+    decode covers every row); the per-run loop touches numpy slices
+    only.  Partition volume is bounded by the shuffle width exactly as
+    the per-token layout was — rows are smaller, not fewer per key."""
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = [b for b in it if len(b)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+        terms = pdf["term"].to_numpy()
+        splits = pdf["split_id"].to_numpy()
+        norms_blobs = pdf["norms"].to_numpy()
+        ndocs = np.fromiter((len(x) for x in norms_blobs), np.int64, count=len(pdf))
+        row_ends = np.cumsum(ndocs)
+        row_starts = row_ends - ndocs
+        docs_all = varbyte_decode(b"".join(pdf["docs"].to_numpy())).astype(np.int64)
+        # undo the per-row delta coding: cumsum, then subtract the prefix
+        # that leaked across row boundaries (segment-cumsum trick)
+        cs = np.cumsum(docs_all)
+        offs = np.concatenate(([0], cs[row_starts[1:] - 1])) if len(pdf) > 1 else np.zeros(1, np.int64)
+        docs_abs = cs - np.repeat(offs, ndocs)
+        tfs_all = varbyte_decode(b"".join(pdf["tfs"].to_numpy())).astype(np.int64)
+        norms_all = np.frombuffer(b"".join(norms_blobs), dtype=np.uint8).astype(np.int64)
+        pos_cat = b"".join(pdf["pos"].to_numpy())
+        has_pos = len(pos_cat) > 0
+        if has_pos:
+            pb = np.frombuffer(pos_cat, dtype=np.uint8)
+            vends = np.nonzero((pb & 0x80) == 0)[0] + 1  # byte end per varbyte value
+            doc_vend = vends[np.cumsum(tfs_all) - 1]  # end byte of each doc's last value
+            doc_vstart = np.concatenate(([0], doc_vend[:-1]))
+        ch = np.nonzero((terms[1:] != terms[:-1]) | (splits[1:] != splits[:-1]))[0] + 1
+        rstarts = np.concatenate(([0], ch))
+        rends = np.concatenate((ch, [len(pdf)]))
+        out: list[dict] = []
+        for rs, re_ in zip(rstarts, rends):
+            a, b = int(row_starts[rs]), int(row_ends[re_ - 1])
+            d = docs_abs[a:b]
+            o = np.argsort(d, kind="stable")
+            d = d[o]
+            t = tfs_all[a:b][o]
+            n = norms_all[a:b][o]
+            eb = encode_blocks(d, t, n, block_size=block_size)
+            if has_pos:
+                s_ = doc_vstart[a:b][o]
+                lens = doc_vend[a:b][o] - s_
+                tot = int(lens.sum())
+                if tot:
+                    cl = np.concatenate(([0], np.cumsum(lens)))
+                    gather = np.repeat(s_ - cl[:-1], lens) + np.arange(tot, dtype=np.int64)
+                    ordered = pb[gather]
+                    b_pos = [
+                        ordered[cl[i * block_size]:cl[min((i + 1) * block_size, d.size)]].tobytes()
+                        for i in range(len(eb.n))
+                    ]
+                else:
+                    b_pos = [b""] * len(eb.n)
+            else:
+                b_pos = [b""] * len(eb.n)
+            term = terms[rs]
+            out.append(
+                {
+                    "term": term,
+                    "split_id": int(splits[rs]),
+                    "part": term_part_py(term, num_parts),
+                    "df_row": int(d.size),
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "b_first": eb.first_doc.tolist(),
+                    "b_last": eb.last_doc.tolist(),
+                    "b_n": eb.n.tolist(),
+                    "b_maxtf": eb.max_tf.tolist(),
+                    "b_minnorm": eb.min_norm.tolist(),
+                    "b_docs": eb.doc_bytes,
+                    "b_tfs": eb.tf_bytes,
+                    "b_norms": eb.norm_bytes,
+                    "b_pos": b_pos,
+                }
+            )
+            if len(out) >= 2048:
+                yield pd.DataFrame(out)
+                out = []
+        if out:
+            yield pd.DataFrame(out)
+
+    return enc
 
 
 def _encode_one(term: str, split_id: int, pdf: pd.DataFrame, block_size: int, num_parts: int) -> dict:
@@ -393,22 +660,32 @@ class IndexBuilder:
         )
         scan_target = 2 * self.spark.sparkContext.defaultParallelism
 
+        import threading
+
         # ---------------------------------------------------- doc_index
+        # Fresh builds OVERLAP the doc_index write with the postings
+        # pipeline (guide §2.6): both derive from the same docid-assigned
+        # plan, the write runs in a driver thread while the main thread
+        # tokenizes/shuffles/encodes — postings is the long pole and the
+        # stored-fields write (plus doc_stats) hides under it entirely.
+        # Resume paths (doc_index already committed) keep the serial
+        # shape and read the committed parquet.
+        ix_err: list[BaseException] = []
+        ix_thread: threading.Thread | None = None
+        pins: list = []
+        n_total: int | None = None
+        src_plan: DataFrame | None = None  # (doc_id, fields…) pre-write plan
         if not man.is_complete("doc_index"):
             t0 = time.time()
-            # floor the scan parallelism FIRST (a plain round-robin
-            # exchange, no sort): docid's dense fast path broadcast-joins
-            # the conversation offsets, so everything from here to the
-            # doc_index write is map-side and runs at the scan's
-            # parallelism.  At cluster scale inputs arrive in thousands
-            # of splits and this is a no-op.
-            df = ensure_parallelism(transcripts, scan_target)
+            df = transcripts
             if self.validate:
                 validate_transcripts(df)
-            pins: list = []
             offsets_out: dict = {}
             t1 = time.time()
-            df, _n_total = assign_doc_ids_with_total(
+            # docid runs on the RAW input: its conversation aggregation
+            # then prunes columns at the scan instead of paying the
+            # round-robin exchange (and its local sort) of the full rows
+            df, n_total = assign_doc_ids_with_total(
                 df,
                 method=self.docid_method,
                 checkpoint_offsets=False,
@@ -416,9 +693,16 @@ class IndexBuilder:
                 offsets_out=offsets_out,
             )
             _tr("docid_offsets", t1)
+            # floor the write/tokenize parallelism AFTER docid (a plain
+            # round-robin exchange): the dense fast path broadcast-joins
+            # conversation offsets map-side, so everything downstream
+            # runs at this width.  At cluster scale inputs arrive in
+            # thousands of splits and this is a no-op.
+            df = ensure_parallelism(df, scan_target)
             if self.sanitize:
                 clean = F.pandas_udf(remove_quoted_replies, "string")
                 df = df.withColumn("text", clean(F.col("text")))
+            src_plan = df.select("doc_id", *self.fields)
             extra_cols: list[str] = []
             for fi, fld in enumerate(self.fields):
                 dcol = "dl" if fi == 0 else f"dl_{fld}"
@@ -442,80 +726,78 @@ class IndexBuilder:
                     F.count(F.when(F.col(dcol) > 0, 1)).alias(f"n_{fld}")
                 )
                 obs_aggs.append(F.sum(dcol).alias(f"total_{fld}"))
-            t1 = time.time()
-            (
-                df.select(
-                    "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                    "text", "dl", "norm", *extra_cols,
-                )
-                .observe(obs, *obs_aggs)
-                .sortWithinPartitions("doc_id")
-                .write.mode("overwrite")
-                .parquet(man.stage_path("doc_index"))
-            )
-            _tr("doc_index_write", t1)
-            for p in pins:
-                p.unpersist(blocking=False)
-            m = obs.get
-            f0 = self.fields[0]
-            man.set_stats(
-                n_docs=int(m[f"n_{f0}"] or 0),
-                total_tokens=int(m[f"total_{f0}"] or 0),
-                n_rows=int(m["rows"]),
-                max_doc_id=int(m["rows"]) - 1,
-                field_stats={
-                    fld: {
-                        "n_docs": int(m[f"n_{fld}"] or 0),
-                        "total_tokens": int(m[f"total_{fld}"] or 0),
-                    }
-                    for fld in self.fields
-                },
-            )
-            man.commit_stage("doc_index", seconds=round(time.time() - t0, 2))
-            # conv_offsets artifact (docid fast path only, dense input):
-            # the sorted (conv_id, conv_offset, n_turns) table the query
-            # engine broadcast-searchsorteds to map doc_id → (conv_id,
-            # turn_idx) WITHOUT a doc_stats join.  The arrays are already
-            # on the driver — written via pyarrow, zero Spark jobs, no
-            # build-time barrier.  Distributed-path / non-dense builds
-            # skip it; the engine falls back to the doc_stats join.
-            if offsets_out.get("dense"):
-                import pyarrow as pa
-                import pyarrow.parquet as papq
+            df_final = df
 
-                cdir = man.stage_path("conv_offsets")
-                os.makedirs(cdir, exist_ok=True)
-                dest = os.path.join(cdir, "part-00000.parquet")
-                # tmp + atomic rename: a crash mid-write must never leave
-                # a truncated parquet at the published name (the engine
-                # also tolerates one — _load_conv_offsets falls back to
-                # the doc_stats join — but don't create the hazard)
-                tmp = dest + ".tmp"
-                papq.write_table(
-                    pa.table(
-                        {
-                            "conv_id": pa.array(
-                                list(offsets_out["conv_ids"]), type=pa.string()
-                            ),
-                            "conv_offset": offsets_out["offsets"],
-                            "n_turns": offsets_out["n_turns"],
+            def _write_doc_index() -> None:
+                t1w = time.time()
+                (
+                    df_final.select(
+                        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                        "text", "dl", "norm", *extra_cols,
+                    )
+                    .observe(obs, *obs_aggs)
+                    .sortWithinPartitions("doc_id")
+                    .write.mode("overwrite")
+                    .parquet(man.stage_path("doc_index"))
+                )
+                _tr("doc_index_write", t1w)
+                m = obs.get
+                f0 = self.fields[0]
+                man.set_stats(
+                    n_docs=int(m[f"n_{f0}"] or 0),
+                    total_tokens=int(m[f"total_{f0}"] or 0),
+                    n_rows=int(m["rows"]),
+                    max_doc_id=int(m["rows"]) - 1,
+                    field_stats={
+                        fld: {
+                            "n_docs": int(m[f"n_{fld}"] or 0),
+                            "total_tokens": int(m[f"total_{fld}"] or 0),
                         }
-                    ),
-                    tmp,
+                        for fld in self.fields
+                    },
                 )
-                os.replace(tmp, dest)
-                man.commit_stage("conv_offsets", n_convs=len(offsets_out["conv_ids"]))
-        doc_index = self.spark.read.parquet(man.stage_path("doc_index"))
+                man.commit_stage("doc_index", seconds=round(time.time() - t0, 2))
+                # conv_offsets artifact (docid fast path only, dense
+                # input): the sorted (conv_id, conv_offset, n_turns)
+                # table the query engine broadcast-searchsorteds to map
+                # doc_id → (conv_id, turn_idx) WITHOUT a doc_stats join.
+                # The arrays are already on the driver — written via
+                # pyarrow, zero Spark jobs, no build-time barrier.
+                # Distributed-path / non-dense builds skip it; the
+                # engine falls back to the doc_stats join.
+                if offsets_out.get("dense"):
+                    import pyarrow as pa
+                    import pyarrow.parquet as papq
 
-        # ---------------------------------------------------- doc_stats
-        # skinny projection (no text column touched) — keeps the A6
-        # norms-table contract at ~1% of the doc_index bytes.  MAP-SIDE
-        # write (doc_index partitions are already doc_id-sorted — no
-        # exchange, no range-sampling job), and when the postings stage
-        # is also pending it runs CONCURRENTLY in a driver thread: both
-        # stages read the committed doc_index parquet independently, so
-        # the small write hides under the big tokenize+shuffle instead
-        # of adding a serial barrier between them.
+                    cdir = man.stage_path("conv_offsets")
+                    os.makedirs(cdir, exist_ok=True)
+                    dest = os.path.join(cdir, "part-00000.parquet")
+                    # tmp + atomic rename: a crash mid-write must never
+                    # leave a truncated parquet at the published name
+                    tmp = dest + ".tmp"
+                    papq.write_table(
+                        pa.table(
+                            {
+                                "conv_id": pa.array(
+                                    list(offsets_out["conv_ids"]), type=pa.string()
+                                ),
+                                "conv_offset": offsets_out["offsets"],
+                                "n_turns": offsets_out["n_turns"],
+                            }
+                        ),
+                        tmp,
+                    )
+                    os.replace(tmp, dest)
+                    man.commit_stage(
+                        "conv_offsets", n_convs=len(offsets_out["conv_ids"])
+                    )
+
+        # doc_stats: skinny projection of the COMMITTED doc_index (no
+        # text column touched) — keeps the A6 norms-table contract at
+        # ~1% of the doc_index bytes; map-side write (partitions are
+        # already doc_id-sorted).  It always runs after the doc_index
+        # write — in the same background thread on fresh builds, in a
+        # doc_stats-only thread (overlapped with postings) on resumes.
         stats_err: list[BaseException] = []
         stats_thread = None
 
@@ -528,7 +810,8 @@ class IndexBuilder:
                     for c in (f"dl_{fld}", f"norm_{fld}")
                 ]
                 (
-                    doc_index.select(*stat_cols)
+                    self.spark.read.parquet(man.stage_path("doc_index"))
+                    .select(*stat_cols)
                     .sortWithinPartitions("doc_id")
                     .write.mode("overwrite")
                     .parquet(man.stage_path("doc_stats"))
@@ -537,17 +820,37 @@ class IndexBuilder:
             except BaseException as e:  # re-raised on the main thread
                 stats_err.append(e)
 
-        if not man.is_complete("doc_stats"):
-            if not man.is_complete("postings") and "n_rows" in man.stats:
-                import threading
+        if src_plan is not None and not man.is_complete("postings") and n_total is not None:
+            # fresh build: doc_index (+ doc_stats) in the background,
+            # postings pipeline on this thread
+            def _ix_body() -> None:
+                try:
+                    _write_doc_index()
+                    if not man.is_complete("doc_stats"):
+                        _write_doc_stats()
+                        if stats_err:
+                            raise stats_err.pop()
+                except BaseException as e:
+                    ix_err.append(e)
 
+            ix_thread = threading.Thread(target=_ix_body, daemon=True)
+            ix_thread.start()
+        elif src_plan is not None:
+            _write_doc_index()
+            src_plan = None  # postings complete; nothing to overlap
+            if not man.is_complete("doc_stats"):
+                _write_doc_stats()
+                if stats_err:
+                    raise stats_err[0]
+        elif not man.is_complete("doc_stats"):
+            if not man.is_complete("postings") and "n_rows" in man.stats:
                 stats_thread = threading.Thread(target=_write_doc_stats, daemon=True)
                 stats_thread.start()
             else:
                 _write_doc_stats()
                 if stats_err:
                     raise stats_err[0]
-        if "n_docs" not in man.stats:
+        if ix_thread is None and "n_docs" not in man.stats:
             # resume fallback (manifest predates the observe()-based
             # stats): one aggregation over the skinny doc_stats table —
             # guaranteed on disk here (the threaded overlap requires
@@ -565,91 +868,107 @@ class IndexBuilder:
             )
 
         # ---------------------------------------------------- postings
-        if not man.is_complete("postings"):
-            t0 = time.time()
-            n_rows = int(man.stats["n_rows"])
-            # heavy-term detection over a deterministic doc_id sample
-            # (mod == 1 → exact full pass).  Sampled on a HASH of doc_id,
-            # not a raw modulo: term occurrence that is periodic in
-            # doc_id (derived fields, conv-order structure) could land
-            # entirely off a modulo stride, zeroing df_est for a
-            # genuinely heavy term; the hash stays deterministic and
-            # partition-invariant but is immune to periodic alignment.
-            sample_mod = min(max(1, n_rows // self.heavy_sample_docs), 4096)
-            src = doc_index.select("doc_id", *self.fields)
-            sample_src = (
-                src.where(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
-                if sample_mod > 1
-                else src
-            )
-            t1 = time.time()
-            sample_tf = ensure_parallelism(sample_src, scan_target).mapInPandas(
-                _tokenize_to_tf_rows(self.simple_tokens, fields=self.fields), TF_SCHEMA
-            )
-            heavy = (
-                sample_tf.groupBy("term")
-                .agg((F.count("*") * sample_mod).alias("df_est"))
-                .where(F.col("df_est") > self.heavy_df_threshold)
-                .withColumn(
-                    "n_splits",
-                    F.ceil(F.col("df_est") / F.lit(self.split_target)).cast("int"),
+        try:
+            if not man.is_complete("postings"):
+                t0 = time.time()
+                n_rows = (
+                    int(n_total) if ix_thread is not None else int(man.stats["n_rows"])
                 )
-                .select("term", "n_splits")
-            )
-            _tr("heavy_plan", t1)
-            # ONE full tokenize pass feeding the wide shuffle directly —
-            # no persist: the token stream is never stored or re-read
-            tf_rows = ensure_parallelism(src, scan_target).mapInPandas(
-                _tokenize_to_tf_rows(
-                    self.simple_tokens, positions=self.positions, fields=self.fields
-                ),
-                TF_SCHEMA_POS if self.positions else TF_SCHEMA,
-            )
-            rows = tf_rows.join(F.broadcast(heavy), "term", "left").withColumn(
-                "split_id",
-                F.when(F.col("n_splits").isNull(), F.lit(0)).otherwise(
-                    F.floor(
-                        F.col("doc_id")
-                        / F.ceil(F.lit(n_rows) / F.col("n_splits")).cast("long")
-                    ).cast("int")
-                ),
-            )
-            shuffle_cols = ["term", "split_id", "doc_id", "tf", "norm"] + (
-                ["pos"] if self.positions else []
-            )
-            # Two exchanges by design (A/B-measured): the wide per-token
-            # shuffle keys on Spark's native hash of (term, split_id) —
-            # full-width spread incl. heavy-term splits — and the SECOND
-            # exchange moves only the ENCODED payload (~compressed-index-
-            # sized, ~1% of the token stream) to lay files out one-part-
-            # per-task.  The alternative single shuffle keyed on the
-            # md5-derived part expression evaluates md5 per TOKEN row and
-            # measured net slower, besides confining each heavy term's
-            # splits to its part's few buckets.
-            postings = (
-                # dl is not needed downstream — drop it before the wide
-                # shuffle so the per-token payload stays minimal
-                rows.select(*shuffle_cols)
-                .repartition(par_target, "term", "split_id")
-                .sortWithinPartitions("term", "split_id", "doc_id")
-                .mapInPandas(_encode_runs(self.block_size, self.num_parts), POSTINGS_SCHEMA)
-            )
-            t1 = time.time()
-            (
-                postings.repartition(self.num_parts, "part")
-                .sortWithinPartitions("term", "split_id")
-                .write.mode("overwrite")
-                .partitionBy("part")
-                .parquet(man.stage_path("postings"))
-            )
-            _tr("postings_write", t1)
-            man.commit_stage("postings", seconds=round(time.time() - t0, 2))
-
-        # barrier for the overlapped doc_stats write
-        if stats_thread is not None:
-            stats_thread.join()
-            if stats_err:
-                raise stats_err[0]
+                # heavy-term detection over a deterministic doc_id sample
+                # (mod == 1 → exact full pass).  Sampled on a HASH of
+                # doc_id, not a raw modulo: term occurrence periodic in
+                # doc_id could land entirely off a modulo stride, zeroing
+                # df_est for a genuinely heavy term; the hash stays
+                # deterministic and partition-invariant but is immune to
+                # periodic alignment.
+                sample_mod = min(max(1, n_rows // self.heavy_sample_docs), 4096)
+                if src_plan is not None:
+                    src = src_plan  # pre-write plan: overlaps the write
+                else:
+                    src = ensure_parallelism(
+                        self.spark.read.parquet(man.stage_path("doc_index")).select(
+                            "doc_id", *self.fields
+                        ),
+                        scan_target,
+                    )
+                sample_src = (
+                    src.where(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
+                    if sample_mod > 1
+                    else src
+                )
+                t1 = time.time()
+                # per-batch (term, df) partial counts → one small agg →
+                # driver dict: the heavy table is bounded by
+                # total_postings / heavy_df_threshold regardless of
+                # corpus size (same bound the old broadcast join had)
+                hrows = (
+                    sample_src.mapInPandas(
+                        _tokenize_term_df_counts(self.simple_tokens, self.fields),
+                        "term string, df long",
+                    )
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("dfs"))
+                    .where(F.col("dfs") * sample_mod > self.heavy_df_threshold)
+                    .collect()
+                )
+                heavy_map = {
+                    r["term"]: int(
+                        -(-(int(r["dfs"]) * sample_mod) // self.split_target)
+                    )
+                    for r in hrows
+                }
+                heavy_bc = (
+                    self.spark.sparkContext.broadcast(heavy_map) if heavy_map else None
+                )
+                _tr("heavy_plan", t1)
+                # ONE full tokenize pass, pre-aggregated MAP-SIDE into
+                # packed per-(term, split, batch) chunk rows (CHUNK_SCHEMA
+                # docstring): the wide shuffle carries ~batch-vocabulary
+                # rows with ~5 B/posting varbyte payloads instead of one
+                # 40+-byte row per (doc, term), and the reduce-side sort
+                # orders chunk rows, not postings.  The SECOND exchange
+                # moves only the ENCODED payload (~1% of the token
+                # stream) to lay files out one-part-per-task.
+                chunks = src.mapInPandas(
+                    _tokenize_to_chunk_rows(
+                        self.simple_tokens,
+                        self.positions,
+                        self.fields,
+                        heavy_bc,
+                        n_rows,
+                    ),
+                    CHUNK_SCHEMA,
+                )
+                postings = (
+                    chunks.repartition(par_target, "term", "split_id")
+                    .sortWithinPartitions("term", "split_id")
+                    .mapInPandas(
+                        _encode_chunk_runs(self.block_size, self.num_parts),
+                        POSTINGS_SCHEMA,
+                    )
+                )
+                t1 = time.time()
+                (
+                    postings.repartition(self.num_parts, "part")
+                    .sortWithinPartitions("term", "split_id")
+                    .write.mode("overwrite")
+                    .partitionBy("part")
+                    .parquet(man.stage_path("postings"))
+                )
+                _tr("postings_write", t1)
+                man.commit_stage("postings", seconds=round(time.time() - t0, 2))
+        finally:
+            # barrier for the overlapped doc_index/doc_stats writes
+            if ix_thread is not None:
+                ix_thread.join()
+            if stats_thread is not None:
+                stats_thread.join()
+            for p in pins:
+                p.unpersist(blocking=False)
+        if ix_err:
+            raise ix_err[0]
+        if stats_err:
+            raise stats_err[0]
 
         # --------------------------------------- term_dict + build_metrics
         # ONE pass over the postings feeds both: a per-(term, part)
