@@ -130,6 +130,42 @@ def encode_blocks(
     return EncodedBlocks(first, last, n, mtf, mnorm, dbs, tbs, nbs)
 
 
+def encode_blocks_vec(
+    doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray, block_size: int = BLOCK_SIZE
+) -> EncodedBlocks:
+    """Bit-identical to :func:`encode_blocks`, vectorized across blocks:
+    ONE varbyte pass over the whole run (deltas reset to 0 at block
+    starts, exactly the per-block layout) sliced at block boundaries,
+    and reduceat for the per-block metadata — no per-block Python loop.
+    Equality with encode_blocks is pytest-gated."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        return encode_blocks(doc_ids, tfs, norms, block_size)
+    if (np.diff(doc_ids) <= 0).any():
+        raise ValueError("doc_ids must be strictly increasing within a posting run")
+    nb = -(-n // block_size)
+    bstarts = np.arange(nb, dtype=np.int64) * block_size
+    bends = np.minimum(bstarts + block_size, n)
+    first = doc_ids[bstarts]
+    last = doc_ids[bends - 1]
+    cnt = (bends - bstarts).astype(np.int32)
+    mtf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+    mnorm = np.minimum.reduceat(norms, bstarts).astype(np.int32)
+    deltas = np.diff(doc_ids, prepend=0)
+    deltas[bstarts] = 0  # per-block first delta is 0 (first_doc is stored)
+    dbuf, doffs = varbyte_encode_offsets(deltas.astype(np.uint64))
+    tbuf, toffs = varbyte_encode_offsets(tfs.astype(np.uint64))
+    mv_d, mv_t = memoryview(dbuf), memoryview(tbuf)
+    nbytes = norms.astype(np.uint8).tobytes()
+    dbs = [bytes(mv_d[doffs[a]:doffs[b]]) for a, b in zip(bstarts, bends)]
+    tbs = [bytes(mv_t[toffs[a]:toffs[b]]) for a, b in zip(bstarts, bends)]
+    nbs = [nbytes[a:b] for a, b in zip(bstarts, bends)]
+    return EncodedBlocks(first, last, cnt, mtf, mnorm, dbs, tbs, nbs)
+
+
 def decode_block(
     first_doc: int, doc_bytes: bytes, tf_bytes: bytes, norm_bytes: bytes
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -71,13 +71,18 @@ from pyspark.sql import functions as F
 from emailindexer_spark.functions.codec import (
     BLOCK_SIZE,
     encode_blocks,
+    encode_blocks_vec,
     varbyte_decode,
     varbyte_encode_offsets,
     varbyte_encode_segments,
 )
 from emailindexer_spark.functions.sanitize import remove_quoted_replies
 from emailindexer_spark.functions.smallfloat import encode_lengths, norm_byte_expr
-from emailindexer_spark.functions.tokenizer import dl_expr, tokenize_series
+from emailindexer_spark.functions.tokenizer import (
+    token_counts,
+    tokenize_series,
+    tokenize_series_codes,
+)
 from emailindexer_spark.operators.docid import (
     assign_doc_ids_with_total,
     validate_transcripts,
@@ -237,14 +242,11 @@ def _tokenize_term_df_counts(simple: bool, fields: tuple[str, ...] = ("text",)):
             frames = []
             for fi, f in enumerate(fields):
                 prefix = "" if fi == 0 else f + ":"
-                toks = tokenize_series(pdf[f], simple=simple)
-                nlens = toks.str.len().to_numpy(dtype=np.int64)
+                nlens, codes, uniques = tokenize_series_codes(pdf[f], simple=simple)
                 if nlens.sum() == 0:
                     continue
                 doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
                 flat_docs = np.repeat(doc_ids, nlens)
-                flat_terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
-                codes, uniques = pd.factorize(flat_terms)
                 order = np.lexsort((flat_docs, codes))
                 cv, dv = codes[order], flat_docs[order]
                 gmask = np.concatenate(
@@ -283,14 +285,11 @@ def _tokenize_to_chunk_rows(
     old broadcast-join computed it."""
 
     def one_field(pdf: pd.DataFrame, col: str, prefix: str) -> pd.DataFrame | None:
-        toks = tokenize_series(pdf[col], simple=simple)
-        nlens = toks.str.len().to_numpy(dtype=np.int64)
+        nlens, codes, uniques = tokenize_series_codes(pdf[col], simple=simple)
         if nlens.sum() == 0:
             return None
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         flat_docs = np.repeat(doc_ids, nlens)
-        flat_terms = np.concatenate([t for t in toks.to_numpy() if len(t)])
-        codes, uniques = pd.factorize(flat_terms)
         if prefix:
             uniques = (prefix + pd.Series(uniques)).to_numpy()
         dl_map = pd.Series(nlens, index=doc_ids)
@@ -436,7 +435,7 @@ def _encode_chunk_runs(block_size: int, num_parts: int):
             d = d[o]
             t = tfs_all[a:b][o]
             n = norms_all[a:b][o]
-            eb = encode_blocks(d, t, n, block_size=block_size)
+            eb = encode_blocks_vec(d, t, n, block_size=block_size)
             if has_pos:
                 s_ = doc_vstart[a:b][o]
                 lens = doc_vend[a:b][o] - s_
@@ -693,45 +692,65 @@ class IndexBuilder:
                 offsets_out=offsets_out,
             )
             _tr("docid_offsets", t1)
-            # floor the write/tokenize parallelism AFTER docid (a plain
-            # round-robin exchange): the dense fast path broadcast-joins
-            # conversation offsets map-side, so everything downstream
-            # runs at this width.  At cluster scale inputs arrive in
-            # thousands of splits and this is a no-op.
-            df = ensure_parallelism(df, scan_target)
             if self.sanitize:
                 clean = F.pandas_udf(remove_quoted_replies, "string")
                 df = df.withColumn("text", clean(F.col("text")))
+            # tokenize/sample read the PRE-exchange plan: the chunk
+            # pipeline re-spreads at its own (term, split) shuffle, so a
+            # round-robin exchange in front would only sort-and-move the
+            # full text a second time (sortBeforeRepartition pays a
+            # local sort of every row).  The stored-fields WRITE keeps
+            # the exchange — its parallelism is the write itself.
             src_plan = df.select("doc_id", *self.fields)
-            extra_cols: list[str] = []
-            for fi, fld in enumerate(self.fields):
-                dcol = "dl" if fi == 0 else f"dl_{fld}"
-                ncol = "norm" if fi == 0 else f"norm_{fld}"
-                df = df.withColumn(dcol, dl_expr(F.col(fld), self.simple_tokens))
-                df = df.withColumn(ncol, norm_byte_expr(F.col(dcol)))
-                if fi:
-                    extra_cols += [dcol, ncol]
-            # doc_ids correlate with conv order, so sorting within
-            # partitions still yields tight per-row-group doc_id min/max
-            # stats for lookup pruning.  Corpus scalars (Lucene docCount/
-            # avgdl over docs with ≥1 token, §2.9) ride the SAME action
-            # via observe() — no separate aggregation job.
-            from pyspark.sql import Observation
-
-            obs = Observation("build_stats")
-            obs_aggs = [F.count(F.lit(1)).alias("rows")]
-            for fi, fld in enumerate(self.fields):
-                dcol = "dl" if fi == 0 else f"dl_{fld}"
-                obs_aggs.append(
-                    F.count(F.when(F.col(dcol) > 0, 1)).alias(f"n_{fld}")
-                )
-                obs_aggs.append(F.sum(dcol).alias(f"total_{fld}"))
-            df_final = df
+            df_pre = df
 
             def _write_doc_index() -> None:
+                # ALL of the write-plan construction lives here so a
+                # fresh build's main thread reaches the postings
+                # pipeline immediately (df.rdd partition probing and
+                # py4j plan chatter cost ~1 s of serial driver time)
                 t1w = time.time()
+                # floor the write parallelism (a plain round-robin
+                # exchange): the dense docid fast path broadcast-joins
+                # conversation offsets map-side, so everything
+                # downstream runs at this width.  At cluster scale
+                # inputs arrive in thousands of splits — no-op.
+                dfw = ensure_parallelism(df_pre, scan_target)
+                extra_cols: list[str] = []
+                # exact token counts from the vectorized Python
+                # tokenizer (same values as the JVM dl_expr regex —
+                # lock-step-tested — at ~1/5 the CPU: java.util.regex
+                # with lookarounds costs ~40 core-seconds per 600k docs,
+                # which dominates the single-thread scaling leg)
+                _simple = self.simple_tokens
+                dl_udf = F.pandas_udf(
+                    lambda s: pd.Series(token_counts(s, simple=_simple)), "int"
+                )
+                for fi, fld in enumerate(self.fields):
+                    dcol = "dl" if fi == 0 else f"dl_{fld}"
+                    ncol = "norm" if fi == 0 else f"norm_{fld}"
+                    dfw = dfw.withColumn(dcol, dl_udf(F.col(fld)))
+                    dfw = dfw.withColumn(ncol, norm_byte_expr(F.col(dcol)))
+                    if fi:
+                        extra_cols += [dcol, ncol]
+                # doc_ids correlate with conv order, so sorting within
+                # partitions still yields tight per-row-group doc_id
+                # min/max stats for lookup pruning.  Corpus scalars
+                # (Lucene docCount/avgdl over docs with ≥1 token, §2.9)
+                # ride the SAME action via observe() — no separate
+                # aggregation job.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                obs_aggs = [F.count(F.lit(1)).alias("rows")]
+                for fi, fld in enumerate(self.fields):
+                    dcol = "dl" if fi == 0 else f"dl_{fld}"
+                    obs_aggs.append(
+                        F.count(F.when(F.col(dcol) > 0, 1)).alias(f"n_{fld}")
+                    )
+                    obs_aggs.append(F.sum(dcol).alias(f"total_{fld}"))
                 (
-                    df_final.select(
+                    dfw.select(
                         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                         "text", "dl", "norm", *extra_cols,
                     )
@@ -996,7 +1015,7 @@ class IndexBuilder:
                     lambda a, x: a + x,
                 )
             )
-            aug = (
+            aug_plan = (
                 p.withColumn("payload_bytes", payload_bytes)
                 .groupBy("term", "part")
                 .agg(
@@ -1005,8 +1024,100 @@ class IndexBuilder:
                     F.sum("payload_bytes").alias("payload_bytes"),
                     F.sum(F.when(F.col("split_id") > 0, 1).otherwise(0)).alias("skew_splits"),
                 )
-                .persist()
             )
+            # bounded-vocabulary fast path: ONE collect (capped — the
+            # limit guarantees a bounded driver transfer at any corpus
+            # scale) feeds BOTH artifacts driver-side, replacing the
+            # persist + distributed-write + second-collect shape (three
+            # serial jobs → one).  The cap mirrors the query engine's
+            # VOCAB_DRIVER_MAX_ROWS: indexes it cannot driver-load fall
+            # back to the distributed path below.
+            _VOCAB_CAP = 5_000_000
+            vrows = aug_plan.limit(_VOCAB_CAP + 1).collect()
+            if len(vrows) <= _VOCAB_CAP:
+                import pyarrow as pa
+                import pyarrow.parquet as papq
+
+                if not man.is_complete("term_dict"):
+                    t0 = time.time()
+                    vrows.sort(key=lambda r: r["term"])
+                    tdir = man.stage_path("term_dict")
+                    os.makedirs(tdir, exist_ok=True)
+                    dest = os.path.join(tdir, "part-00000.parquet")
+                    papq.write_table(
+                        pa.table(
+                            {
+                                "term": pa.array(
+                                    [r["term"] for r in vrows], type=pa.string()
+                                ),
+                                "part": pa.array(
+                                    [r["part"] for r in vrows], type=pa.int32()
+                                ),
+                                "df": pa.array(
+                                    [int(r["df"]) for r in vrows], type=pa.int64()
+                                ),
+                            }
+                        ),
+                        dest + ".tmp",
+                        # sorted by term with small row groups: min/max
+                        # stats prune prefix/range scans like the range-
+                        # partitioned layout did
+                        row_group_size=32768,
+                    )
+                    os.replace(dest + ".tmp", dest)
+                    man.commit_stage("term_dict", seconds=round(time.time() - t0, 2))
+                if not man.is_complete("build_metrics"):
+                    t0 = time.time()
+                    per_part: dict[int, list[int]] = {}
+                    for r in vrows:
+                        a = per_part.setdefault(int(r["part"]), [0, 0, 0, 0, 0])
+                        a[0] += int(r["posting_rows"])
+                        a[1] += int(r["df"])
+                        a[2] += int(r["payload_bytes"])
+                        a[3] += int(r["skew_splits"])
+                        a[4] += 1  # n_terms: aug is unique per (term, part)
+                    mdir = man.stage_path("build_metrics")
+                    import shutil
+
+                    shutil.rmtree(mdir, ignore_errors=True)
+                    os.makedirs(mdir, exist_ok=True)
+                    parts_sorted = sorted(per_part)
+                    tbl = pa.table(
+                        {
+                            "part": pa.array(parts_sorted, type=pa.int32()),
+                            "posting_rows": pa.array(
+                                [per_part[k][0] for k in parts_sorted], type=pa.int64()
+                            ),
+                            "postings_written": pa.array(
+                                [per_part[k][1] for k in parts_sorted], type=pa.int64()
+                            ),
+                            "bytes_compressed": pa.array(
+                                [per_part[k][2] for k in parts_sorted], type=pa.int64()
+                            ),
+                            "skew_splits": pa.array(
+                                [per_part[k][3] for k in parts_sorted], type=pa.int64()
+                            ),
+                            "n_terms": pa.array(
+                                [per_part[k][4] for k in parts_sorted], type=pa.int64()
+                            ),
+                            "snapshot_id": pa.array(
+                                [man.snapshot_id] * len(parts_sorted), type=pa.string()
+                            ),
+                        }
+                    )
+                    dest = os.path.join(mdir, "part-00000.parquet")
+                    papq.write_table(tbl, dest + ".tmp")
+                    os.replace(dest + ".tmp", dest)
+                    man.set_stats(
+                        postings_written=sum(a[1] for a in per_part.values()),
+                        bytes_compressed=sum(a[2] for a in per_part.values()),
+                        skew_splits=sum(a[3] for a in per_part.values()),
+                    )
+                    man.commit_stage(
+                        "build_metrics", seconds=round(time.time() - t0, 2)
+                    )
+                return man
+            aug = aug_plan.persist()
             # Lucene's sorted term dictionary: (term, part, df) range-
             # partitioned and sorted by term, so prefix expansion scans
             # the vocabulary (row-group pruned), never the postings

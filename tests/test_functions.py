@@ -403,3 +403,76 @@ class TestLevenshteinBatch:
         # "ab" -> "ba": classic 2 edits, OSA 1
         assert _levenshtein_batch(["ba"], "ab", transpositions=False)[0] == 2
         assert _levenshtein_batch(["ba"], "ab", transpositions=True)[0] == 1
+
+
+class TestFastTokenizerCodes:
+    """tokenize_series_codes / token_counts lock-step with the regex
+    tokenizer, and encode_blocks_vec bit-equality with encode_blocks —
+    the r6 build-path internals."""
+
+    def _check(self, texts, simple):
+        from emailindexer_spark.functions.tokenizer import (
+            token_counts,
+            tokenize_series_codes,
+        )
+
+        s = pd.Series(texts, dtype=object)
+        toks = tokenize_series(s, simple=simple)
+        nl_ref = toks.str.len().to_numpy(np.int64)
+        nl, codes, uniq = tokenize_series_codes(s, simple=simple)
+        assert (nl == nl_ref).all()
+        assert (token_counts(s, simple=simple) == nl_ref).all()
+        flat_ref = (
+            np.concatenate([t for t in toks.to_numpy() if len(t)])
+            if nl_ref.sum()
+            else np.empty(0, object)
+        )
+        flat = uniq[codes] if len(codes) else np.empty(0, object)
+        assert len(flat) == len(flat_ref)
+        assert all(a == b for a, b in zip(flat, flat_ref))
+
+    def test_edge_cases(self):
+        cases = [
+            ["Don't stop", "u.s.a 2.0.26 a1.b", "", None, "2'3 a'b a''b 1.2 a.2"],
+            ["A" * 600, ("q" * 255) + "r", "x" * 33, "x" * 32],  # 255-split + fast-max fallback
+            ["é snow ☃", "ascii then", "MiXeD CaSe 42"],  # non-ASCII fallback
+            [""], [None, None], ["...", "'''", "a.b'c.d"],
+        ]
+        for texts in cases:
+            for simple in (False, True):
+                self._check(texts, simple)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abzABZ019.' \n\té", min_size=0, max_size=60),
+            min_size=1,
+            max_size=6,
+        ),
+        st.booleans(),
+    )
+    def test_fuzz_lockstep(self, texts, simple):
+        self._check(texts, simple)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(0, 1 << 40), min_size=1, max_size=400, unique=True),
+        st.integers(1, 9),
+    )
+    def test_encode_blocks_vec_equal(self, docs, tf_mod):
+        from emailindexer_spark.functions.codec import encode_blocks, encode_blocks_vec
+
+        d = np.sort(np.asarray(docs, dtype=np.int64))
+        tfs = (d % tf_mod + 1).astype(np.int64)
+        norms = (d % 256).astype(np.int64)
+        for bs in (3, 128):
+            a = encode_blocks(d, tfs, norms, block_size=bs)
+            b = encode_blocks_vec(d, tfs, norms, block_size=bs)
+            assert (a.first_doc == b.first_doc).all()
+            assert (a.last_doc == b.last_doc).all()
+            assert (a.n == b.n).all()
+            assert (a.max_tf == b.max_tf).all()
+            assert (a.min_norm == b.min_norm).all()
+            assert a.doc_bytes == b.doc_bytes
+            assert a.tf_bytes == b.tf_bytes
+            assert a.norm_bytes == b.norm_bytes
