@@ -969,7 +969,14 @@ class IndexBuilder:
                 t1 = time.time()
                 (
                     postings.repartition(self.num_parts, "part")
-                    .sortWithinPartitions("term", "split_id")
+                    # LEAD with the partition column: the dynamic-
+                    # partition writer requires rows ordered by "part"
+                    # and otherwise inserts its own (unstable) sort,
+                    # which silently destroyed the term order inside
+                    # each file — with it satisfied, rows really are
+                    # (term, split)-sorted on disk and row-group min/max
+                    # pruning on `term` works as designed
+                    .sortWithinPartitions("part", "term", "split_id")
                     .write.mode("overwrite")
                     .partitionBy("part")
                     .parquet(man.stage_path("postings"))

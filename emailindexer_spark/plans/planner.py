@@ -1776,6 +1776,467 @@ class SearchEngine:
             g = g.withColumn("score", F.col("score") * F.lit(node.boost))
         return g
 
+    # ------------------------------------------------------------ local serving
+
+    #: posting-volume budget for the driver-local fast path: queries
+    #: whose pruned, expanded term set decodes at most this many
+    #: postings run on the driver (one pyarrow read of the pruned
+    #: part files + the same numpy kernels the executors run) instead
+    #: of paying cluster scheduling for milliseconds of work — the
+    #: Lucene-searcher analogue of Q2's zero-job term lookups.  Above
+    #: the budget (or when any required artifact is missing) the
+    #: distributed plan runs unchanged; 5M postings ≈ 120 MB of
+    #: transient decode arrays, the same order as the driver vocab cap.
+    LOCAL_MAX_POSTINGS = 5_000_000
+    #: expansion-width cap for local multi-term rewrites (prefix/range/
+    #: wildcard/fuzzy): wider expansions keep the distributed scan
+    LOCAL_MAX_EXPANSION = 4096
+    #: tighter budget for local PHRASES: their cost is the position
+    #: merge (O(sum tf), single-threaded here), measured net-slower than
+    #: the distributed plan above a few hundred thousand postings
+    LOCAL_MAX_PHRASE_POSTINGS = 200_000
+    #: k cap — "give me everything" queries stay distributed
+    LOCAL_MAX_K = 10_000
+
+    def _local_posting_rows(
+        self, terms: set[str], cols: tuple[str, ...]
+    ) -> pd.DataFrame | None:
+        """Driver-side equivalent of :meth:`_rows_for_terms`: read the
+        pruned ``part=`` files with pyarrow, term-filtered (row groups
+        pruned by the sorted ``term`` column's min/max).  File lists
+        are cached per engine instance so the local path sees exactly
+        the engine-open-time index state, like the Spark DataFrame's
+        frozen file listing."""
+        import glob as _glob
+
+        import pyarrow.dataset as _ds
+
+        if not hasattr(self, "_local_files"):
+            self._local_files: dict[int, list[str]] = {}
+        frames = []
+        want = [c for c in cols if c != "term"] + ["term"]
+        for part in sorted({term_part_py(t, self.num_parts) for t in terms}):
+            files = self._local_files.get(part)
+            if files is None:
+                files = sorted(
+                    _glob.glob(
+                        os.path.join(self.index_dir, "postings", f"part={part}", "*.parquet")
+                    )
+                )
+                self._local_files[part] = files
+            if not files:
+                continue
+            t = _ds.dataset(files, format="parquet").to_table(
+                columns=want, filter=_ds.field("term").isin(sorted(terms))
+            )
+            if t.num_rows:
+                frames.append(t.to_pandas())
+        if not frames:
+            return pd.DataFrame(columns=want)
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+    def _local_budget_ok(self, terms: set[str]) -> bool:
+        dfs = self.term_dfs(terms)
+        return sum(dfs.values()) <= self.LOCAL_MAX_POSTINGS
+
+    @staticmethod
+    def _local_decode_postings(
+        sub: pd.DataFrame,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized decode of one term's posting rows → (docs, tfs,
+        norms): ONE varbyte pass over all blocks (concatenated varbyte
+        streams are self-delimiting; per-block cumsum leak corrected by
+        the segment trick), instead of the per-block kernel loop."""
+        doc_bufs = [b for row in sub["b_docs"] for b in row]
+        if not doc_bufs:
+            z = np.empty(0, np.int64)
+            return z, z.copy(), z.copy()
+        norm_bufs = [b for row in sub["b_norms"] for b in row]
+        tf_bufs = [b for row in sub["b_tfs"] for b in row]
+        firsts = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in sub["b_first"]]
+        )
+        nb = np.fromiter((len(x) for x in norm_bufs), np.int64, count=len(norm_bufs))
+        deltas = varbyte_decode(b"".join(doc_bufs)).astype(np.int64)
+        cs = np.cumsum(deltas)
+        starts = np.cumsum(nb) - nb
+        offs = np.concatenate(([0], cs[starts[1:] - 1])) if nb.size > 1 else np.zeros(1, np.int64)
+        docs = cs - np.repeat(offs, nb) + np.repeat(firsts, nb)
+        tfs = varbyte_decode(b"".join(tf_bufs)).astype(np.int64)
+        norms = np.frombuffer(b"".join(norm_bufs), dtype=np.uint8).astype(np.int64)
+        return docs, tfs, norms
+
+    #: docs-only local reads carry b_n (block doc counts) instead of the
+    #: tf/norm payloads, so the delta cumsum can be segmented without
+    #: decoding anything else
+    LOCAL_DOCS_COLS = ("b_first", "b_docs", "b_n")
+
+    @staticmethod
+    def _local_decode_docs(sub: pd.DataFrame) -> np.ndarray:
+        """Vectorized docs-only decode (membership sets): sorted unique
+        doc ids over every block of ``sub``."""
+        doc_bufs = [b for row in sub["b_docs"] for b in row]
+        if not doc_bufs:
+            return np.empty(0, np.int64)
+        firsts = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in sub["b_first"]]
+        )
+        nb = np.concatenate([np.asarray(x, dtype=np.int64) for x in sub["b_n"]])
+        deltas = varbyte_decode(b"".join(doc_bufs)).astype(np.int64)
+        cs = np.cumsum(deltas)
+        starts = np.cumsum(nb) - nb
+        offs = np.concatenate(([0], cs[starts[1:] - 1])) if nb.size > 1 else np.zeros(1, np.int64)
+        docs = cs - np.repeat(offs, nb) + np.repeat(firsts, nb)
+        return np.unique(docs)
+
+    def _local_term_streams(
+        self,
+        terms: set[str],
+        idf_map: dict[str, float],
+        avgdl_map: dict[str, float],
+        tcache: dict[str, tuple[np.ndarray, np.ndarray]],
+    ) -> None:
+        """Decode (docs, raw bm25 score) per term into ``tcache`` for
+        every term not already there — the per-CALL sharing that lets a
+        search_many batch decode each term once (the local analogue of
+        the distributed shared-scan; nothing outlives the call).
+        Scores are bit-identical to the executor kernel's: same
+        score_tf expression over the same (tf, norm) values with the
+        same float64 idf/avgdl scalars."""
+        missing = {t for t in terms if t not in tcache}
+        if not missing:
+            return
+        rows = self._local_posting_rows(missing, self.SCORE_COLS)
+        terms_col = rows["term"].to_numpy() if len(rows) else np.empty(0, object)
+        for t in missing:
+            iv = idf_map.get(t)
+            if iv is None:
+                tcache[t] = (np.empty(0, np.int64), np.empty(0, np.float64))
+                continue
+            sub = rows[terms_col == t] if len(rows) else rows
+            docs, tfs, norms = self._local_decode_postings(sub)
+            adl = avgdl_map.get(t, self.avgdl) if avgdl_map else self.avgdl
+            tcache[t] = (docs, bm25.score_tf(tfs, norms, adl, iv))
+
+    def _local_flat_scores(
+        self,
+        node: Bool,
+        idf_map: dict[str, float],
+        avgdl_map: dict[str, float],
+        tcache: dict[str, tuple[np.ndarray, np.ndarray]],
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Driver-local mirror of :meth:`_score_flat_terms` — same
+        decode kernel, same per-doc sum/must/not semantics; returns
+        (doc_ids, scores) or None when ineligible."""
+        boosts: dict[str, float] = {}
+        musts, nots, scoring = [], [], []
+        for occur, c in node.clauses:
+            if occur == MUST:
+                if c.text not in idf_map:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                musts.append(c.text)
+            elif occur == MUST_NOT:
+                nots.append(c.text)
+            if occur != MUST_NOT and c.text in idf_map:
+                scoring.append(c.text)
+                boosts[c.text] = boosts.get(c.text, 0.0) + c.boost
+        if not scoring:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        sset = sorted(set(scoring))
+        self._local_term_streams(set(sset), idf_map, avgdl_map, tcache)
+        docs = np.concatenate([tcache[t][0] for t in sset])
+        tscore = np.concatenate([tcache[t][1] * boosts[t] for t in sset])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        total = np.zeros(uniq.size, np.float64)
+        np.add.at(total, inv, tscore)
+        keep = np.ones(uniq.size, dtype=bool)
+        if musts:
+            nmust = np.zeros(uniq.size, np.int64)
+            for mt in set(musts):
+                md = tcache[mt][0]
+                nmust[np.searchsorted(uniq, md)] += 1  # md ⊆ uniq (mt scores)
+            keep &= nmust == len(set(musts))
+        if nots:
+            not_terms = {t for t in nots if t in idf_map}
+            if not_terms:
+                nrows = self._local_posting_rows(not_terms, self.LOCAL_DOCS_COLS)
+                excl = self._local_decode_docs(nrows)
+                if excl.size:
+                    pos = np.searchsorted(excl, uniq)
+                    hit = (pos < excl.size) & (
+                        excl[np.minimum(pos, excl.size - 1)] == uniq
+                    )
+                    keep &= ~hit
+        if node.boost != 1.0:
+            total = total * node.boost
+        return uniq[keep], total[keep]
+
+    def _local_leaf_scores(
+        self, node: Node, idf_map, avgdl_map
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Driver-local scoring for a single non-Bool leaf; None when
+        the shape/budget is not locally eligible."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if isinstance(node, Phrase):
+            if not self.positions:
+                return None
+            terms = set(node.terms)
+            if any(t not in idf_map for t in terms):
+                return empty
+            fld = node.field or self.fields[0]
+            idf_sum = sum(idf_map[t] for t in node.terms)
+            df_sum = sum(self.term_dfs(terms).values())
+            if node.slop == 0:
+                # vectorized exact-adjacency intersection: per slot i,
+                # sorted (doc << 32 | pos - i + m) keys; surviving keys
+                # after m-1 sorted-membership passes are the phrase
+                # start positions — same match set and score expression
+                # as the distributed merge kernel
+                if df_sum > self.LOCAL_MAX_POSTINGS:
+                    return None
+                rows = self._local_posting_rows(terms, self.POS_COLS)
+                tcols = rows["term"].to_numpy() if len(rows) else np.empty(0, object)
+                streams = {}
+                for t in terms:
+                    sub = rows[tcols == t] if len(rows) else rows
+                    docs, tfs, norms = self._local_decode_postings(sub)
+                    if docs.size == 0:
+                        return empty
+                    pos = decode_positions(
+                        b"".join(b for row in sub["b_pos"] for b in row), tfs
+                    )
+                    if docs.size > 1 and (np.diff(docs) < 0).any():
+                        # row order inside part files is layout-
+                        # dependent (splits/appends) — doc-sort the
+                        # stream, carrying each doc's position segment
+                        o = np.argsort(docs, kind="stable")
+                        sstart = np.cumsum(tfs) - tfs
+                        so = tfs[o]
+                        tot = int(so.sum())
+                        gather = np.repeat(
+                            sstart[o] - (np.cumsum(so) - so), so
+                        ) + np.arange(tot, dtype=np.int64)
+                        docs, tfs, norms, pos = docs[o], so, norms[o], pos[gather]
+                    streams[t] = (docs, tfs, norms, pos)
+                m = len(node.terms)
+                # rank-compress doc ids so (rank << 40 | pos) always
+                # fits int64 regardless of the corpus's doc-id range
+                union_docs = np.unique(
+                    np.concatenate([streams[t][0] for t in terms])
+                )
+                SHIFT = np.int64(1) << np.int64(40)
+                if any(
+                    streams[t][3].size and int(streams[t][3].max()) + m >= int(SHIFT)
+                    for t in terms
+                ):
+                    return None  # pathological positions — distributed path
+                keys = None
+                for i, t in enumerate(node.terms):
+                    docs, tfs, _n, pos = streams[t]
+                    ranks = np.searchsorted(union_docs, docs).astype(np.int64)
+                    ki = np.repeat(ranks, tfs) * SHIFT + (pos - i + m)
+                    if keys is None:
+                        keys = ki  # ascending: ranks asc, pos asc per doc
+                    else:
+                        p = np.searchsorted(ki, keys)
+                        hit = (p < ki.size) & (ki[np.minimum(p, ki.size - 1)] == keys)
+                        keys = keys[hit]
+                    if keys.size == 0:
+                        return empty
+                docs_hit = union_docs[keys // SHIFT]
+                uniqd, freq = np.unique(docs_hit, return_counts=True)
+                d0, _t0, n0, _p0 = streams[node.terms[0]]
+                dl = bm25.LENGTH_TABLE[n0[np.searchsorted(d0, uniqd)]].astype(
+                    np.float64
+                )
+                f = freq.astype(np.float64)
+                adl = self.field_stats[fld][1]
+                sc = idf_sum * f / (f + bm25.K1 * (1 - bm25.B + bm25.B * dl / adl))
+                return uniqd, sc * node.boost
+            # sloppy variants keep the (slower) merge kernels — bounded
+            # tighter because the sweep is single-threaded here
+            if df_sum > self.LOCAL_MAX_PHRASE_POSTINGS:
+                return None
+            rows = self._local_posting_rows(terms, self.POS_COLS)
+            stream = list(_decode_positions_stream(node.terms)(iter([rows])))
+            if not stream:
+                return empty
+            scored = list(
+                _phrase_match_positions(
+                    len(node.terms),
+                    idf_sum,
+                    self.field_stats[fld][1],
+                    node.slop,
+                    order_tolerant=self.slop_order_tolerant and node.slop > 0,
+                )(iter(stream))
+            )
+            if not scored:
+                return empty
+            sp = scored[0] if len(scored) == 1 else pd.concat(scored, ignore_index=True)
+            return (
+                sp["doc_id"].to_numpy(np.int64),
+                sp["score"].to_numpy(np.float64) * node.boost,
+            )
+        if isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
+            f = getattr(node, "field", None) or self.fields[0]
+            if isinstance(node, Fuzzy):
+                exp = self._fuzzy_expand(node.text, f, node.max_edits)
+                dfs = self.term_dfs({kk for kk, _ in exp})
+                exp = [(kk, ed) for kk, ed in exp if kk in dfs]
+                if not exp:
+                    return empty
+                if sum(dfs.values()) > self.LOCAL_MAX_POSTINGS:
+                    return None
+                n_f, adl_f = self.field_stats[f]
+                idf_b = float(bm25.idf(max(dfs[kk] for kk, _ in exp), n_f))
+                pref_len = 0 if f == self.fields[0] else len(f) + 1
+                fboosts = {
+                    kk: self._fuzzy_boost(kk[pref_len:], node.text, ed)
+                    for kk, ed in exp
+                }
+                keys = set(fboosts)
+                fcache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+                self._local_term_streams(
+                    keys,
+                    {kk: idf_b for kk in keys},
+                    {kk: adl_f for kk in keys},
+                    fcache,
+                )
+                kk_sorted = sorted(keys)
+                docs = np.concatenate([fcache[kk][0] for kk in kk_sorted])
+                sc = np.concatenate(
+                    [fcache[kk][1] * fboosts[kk] for kk in kk_sorted]
+                )
+                if not docs.size:
+                    return empty
+                uniq, inv = np.unique(docs, return_inverse=True)
+                total = np.zeros(uniq.size, np.float64)
+                np.add.at(total, inv, sc)
+                if node.boost != 1.0:
+                    total = total * node.boost
+                return uniq, total
+            # constant-score expansions resolve to an exact vocab slice
+            terms_v = self._vocab[0]
+            if isinstance(node, Prefix):
+                key = self._key(f, node.prefix)
+                i0, i1 = self._vocab_prefix_slice(key)
+                sel = self._default_scope_sel(i0, i1, f)
+            elif isinstance(node, TermRange):
+                pref = "" if f == self.fields[0] else f + ":"
+                lo_key = pref + node.lo if node.lo is not None else (pref or None)
+                if node.hi is not None:
+                    hi_key, hi_incl = pref + node.hi, node.hi_incl
+                elif pref:
+                    hi_key, hi_incl = self._prefix_successor(pref), False
+                else:
+                    hi_key, hi_incl = None, True
+                i0, i1 = self._vocab_slice(
+                    lo_key, hi_key, node.lo_incl if node.lo is not None else True, hi_incl
+                )
+                sel = self._default_scope_sel(i0, i1, f)
+            else:  # Wildcard
+                import re as _re
+
+                rx = "".join(
+                    ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                    for c in node.pattern
+                )
+                pref = "" if f == self.fields[0] else f + ":"
+                lit = _re.split(r"[?*]", node.pattern)[0]
+                i0, i1 = self._vocab_prefix_slice(pref + lit)
+                sel = self._default_scope_sel(i0, i1, f)
+                pat = _re.compile("^" + _re.escape(pref) + rx + "$")
+                sel = sel[[bool(pat.match(terms_v[i])) for i in sel]] if sel.size else sel
+            if sel.size == 0:
+                return empty
+            if sel.size > self.LOCAL_MAX_EXPANSION:
+                return None
+            if int(self._vocab[1][sel].sum()) > self.LOCAL_MAX_POSTINGS:
+                return None
+            terms = {terms_v[i] for i in sel}
+            rows = self._local_posting_rows(terms, self.LOCAL_DOCS_COLS)
+            docs = self._local_decode_docs(rows)
+            if not docs.size:
+                return empty
+            return docs, np.full(docs.size, 1.0 * node.boost)
+        return None
+
+    def _local_search(
+        self,
+        ast: Node,
+        flat: Node,
+        k: int | None,
+        mode: str,
+        tcache: dict[str, tuple[np.ndarray, np.ndarray]] | None = None,
+    ) -> pd.DataFrame | None:
+        """Attempt the whole query driver-side; None = take the
+        distributed plan.  Covers exactly the shapes whose distributed
+        results it provably mirrors (same kernels, same combine
+        semantics): flat boolean-of-terms, and single Phrase / Prefix /
+        Wildcard / TermRange / Fuzzy leaves."""
+        if (
+            k is None
+            or k > self.LOCAL_MAX_K
+            or self._off_bc is None
+            or self._driver_vocab() is None
+        ):
+            return None
+        keys = query_terms(ast)
+        idf_map, avgdl_map = self._maps_for(keys)
+        if tcache is None:
+            tcache = {}
+        if isinstance(flat, Bool) and self._is_flat_terms(flat):
+            if not self._local_budget_ok({t for t in keys if t in idf_map}):
+                return None
+            got = self._local_flat_scores(flat, idf_map, avgdl_map, tcache)
+        elif not isinstance(flat, Bool):
+            got = self._local_leaf_scores(flat, idf_map, avgdl_map)
+        elif (
+            isinstance(flat, Bool)
+            and len(flat.clauses) == 1
+            and flat.clauses[0][0] == SHOULD
+            and flat.boost == 1.0
+        ):
+            got = self._local_leaf_scores(flat.clauses[0][1], idf_map, avgdl_map)
+        else:
+            return None
+        if got is None:
+            return None
+        docs, scores = got
+        return self._local_finish(docs, scores, k, mode)
+
+    def _local_finish(
+        self, docs: np.ndarray, scores: np.ndarray, k: int, mode: str
+    ) -> pd.DataFrame:
+        """Driver-local mirror of :meth:`_finish`: (score desc, doc_id
+        asc) ordering, optional best-per-conv collapse (max-struct
+        winner = score desc then doc asc), top-k, rank, conv/turn
+        attachment via the conv_offsets searchsorted."""
+        conv_ids, offs = self._off_bc.value
+        order = np.lexsort((docs, -scores))
+        docs, scores = docs[order], scores[order]
+        oi = np.searchsorted(offs, docs, side="right") - 1
+        if mode == "conversations":
+            cv = oi  # conversation INDEX identifies the conv
+            first = ~pd.Series(cv).duplicated().to_numpy()
+            docs, scores, oi = docs[first], scores[first], oi[first]
+        docs, scores, oi = docs[:k], scores[:k], oi[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, docs.size + 1, dtype=np.int32),
+                "doc_id": docs,
+                "conv_id": conv_ids[oi] if docs.size else np.empty(0, object),
+                "turn_idx": (docs - offs[oi]).astype(np.int32)
+                if docs.size
+                else np.empty(0, np.int32),
+                "score": scores,
+            }
+        )
+
+    RESULT_SCHEMA = (
+        "rank int, doc_id long, conv_id string, turn_idx int, score double"
+    )
+
     # ------------------------------------------------------------ public API
 
     def _score_resolved(self, ast: Node) -> DataFrame:
@@ -1809,11 +2270,28 @@ class SearchEngine:
             use_wand = (
                 mode == "turns" and k is not None and wand_mod.is_wand_eligible(flat)
             )
+        if use_wand and not wand_mod.is_wand_eligible(flat):
+            raise ValueError(
+                "use_wand=True supports flat pure-OR term queries only"
+            )
+        if not with_text:
+            # driver-local fast path for bounded queries (exact same
+            # kernels and combine semantics as the distributed plan;
+            # WAND and the exhaustive path are both exact, so the local
+            # result equals either)
+            lr = self._local_search(ast, flat, k, mode)
+            if lr is not None:
+                if not len(lr):
+                    # one empty-result plan per engine (plan reuse, not
+                    # result caching — the DataFrame is an immutable
+                    # empty relation)
+                    if getattr(self, "_empty_result", None) is None:
+                        self._empty_result = self.spark.createDataFrame(
+                            [], self.RESULT_SCHEMA
+                        )
+                    return self._empty_result
+                return self.spark.createDataFrame(lr, self.RESULT_SCHEMA)
         if use_wand:
-            if not wand_mod.is_wand_eligible(flat):
-                raise ValueError(
-                    "use_wand=True supports flat pure-OR term queries only"
-                )
             keys = query_terms(flat)
             idf_map, avgdl_map = self._maps_for(keys)
             boosts = {c.text: c.boost for _, c in flat.clauses if c.text in idf_map}
@@ -1872,6 +2350,21 @@ class SearchEngine:
             resolved[qid] = (ast, k, mode)
             all_terms |= query_terms(ast)
         self.term_dfs(all_terms)
+        # driver-local members first (same eligibility and results as
+        # the per-query fast path): their rows fold into ONE local
+        # relation — zero Spark work for a batch of bounded queries
+        local_pdfs: list[pd.DataFrame] = []
+        batch_tcache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for qid in list(resolved):
+            ast, k, mode = resolved[qid]
+            flat_q = _flatten_shoulds(ast)
+            if use_wand is True and not wand_mod.is_wand_eligible(flat_q):
+                continue  # per-query path raises the contract error
+            lr = self._local_search(ast, flat_q, k, mode, tcache=batch_tcache)
+            if lr is not None:
+                lr.insert(0, "query_id", qid)
+                local_pdfs.append(lr)
+                resolved.pop(qid)
         shared: dict[str, tuple[Bool, int | None, str]] = {}
         nonflat: list[tuple[str, int | None, str]] = []
         for qid, (ast, k, mode) in resolved.items():
@@ -1881,6 +2374,15 @@ class SearchEngine:
             else:
                 nonflat.append((qid, k, mode))
         parts = []
+        if local_pdfs:
+            parts.append(
+                self.spark.createDataFrame(
+                    pd.concat(local_pdfs, ignore_index=True)
+                    if len(local_pdfs) > 1
+                    else local_pdfs[0],
+                    "query_id string, " + self.RESULT_SCHEMA,
+                )
+            )
         futures = []
         ex = None
         if nonflat:
