@@ -111,6 +111,41 @@ def _tr(label: str, t0: float) -> None:
         print(f"TRACE {label} {time.time() - t0:.2f}", flush=True)
 
 
+def exact_input_rows(df: DataFrame) -> int | None:
+    """Exact row count of a BARE parquet-relation DataFrame, read from
+    the file footers — no Spark job, ~ms.  Returns None unless the
+    optimized plan is a plain ``LogicalRelation`` (any filter/union/
+    projection on top would make the footer count wrong) and every
+    input file's metadata is readable.  Used to start the heavy-term
+    sample before docid assignment finishes; callers must fall back to
+    the exact post-docid count when this returns None."""
+    try:
+        if (
+            df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+            != "LogicalRelation"
+        ):
+            return None
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as papq
+
+    total = 0
+    for f in files:
+        pr = urlparse(f)
+        if pr.scheme not in ("", "file"):
+            return None
+        try:
+            total += papq.ParquetFile(unquote(pr.path)).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def ensure_parallelism(df: DataFrame, target: int) -> DataFrame:
     """Floor a DataFrame's partition count.
 
@@ -235,7 +270,11 @@ CHUNK_SCHEMA = "term string, split_id int, docs binary, tfs binary, norms binary
 def _tokenize_term_df_counts(simple: bool, fields: tuple[str, ...] = ("text",)):
     """mapInPandas for the heavy-term sample: batches → (term, df)
     partial counts (df = docs containing the term in this batch) —
-    uniques-sized output instead of per-(doc, term) rows."""
+    uniques-sized output instead of per-(doc, term) rows.  Rows are
+    identified POSITIONALLY within the batch (batches partition the
+    sample disjointly, so per-batch distinct-(term, row) counts sum to
+    the sample df exactly) — the sample therefore needs no doc_id
+    column and can run concurrently with docid assignment."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -245,8 +284,7 @@ def _tokenize_term_df_counts(simple: bool, fields: tuple[str, ...] = ("text",)):
                 nlens, codes, uniques = tokenize_series_codes(pdf[f], simple=simple)
                 if nlens.sum() == 0:
                     continue
-                doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-                flat_docs = np.repeat(doc_ids, nlens)
+                flat_docs = np.repeat(np.arange(len(pdf), dtype=np.int64), nlens)
                 order = np.lexsort((flat_docs, codes))
                 cv, dv = codes[order], flat_docs[order]
                 gmask = np.concatenate(
@@ -674,6 +712,55 @@ class IndexBuilder:
         pins: list = []
         n_total: int | None = None
         src_plan: DataFrame | None = None  # (doc_id, fields…) pre-write plan
+        sample_plan: DataFrame | None = None  # (conv_id, turn_idx, fields…)
+
+        # heavy-term sample, launched at BUILD ENTRY when the input is a
+        # bare parquet relation (exact n_rows from the footers — no
+        # job): the sample keys on xxhash64(conv_id, turn_idx) — the
+        # STABLE input key, deterministic and partition-invariant like
+        # the old doc_id hash but independent of docid assignment — so
+        # its scan+tokenize+collect overlaps the docid round-trip and
+        # the stored-fields write instead of serializing after them
+        # (guide §2.6).  Estimates only steer physical split fan-out;
+        # the filter/mod are identical on every path (fresh, fallback,
+        # resume), preserving byte-identical rebuilds.
+        heavy_res: dict = {}
+        heavy_thread: threading.Thread | None = None
+        if not man.is_complete("doc_index") and not man.is_complete("postings"):
+            n_meta = exact_input_rows(transcripts)
+            if n_meta is not None and n_meta > 0:
+                early_mod = min(max(1, n_meta // self.heavy_sample_docs), 4096)
+                s_src = transcripts
+                if self.sanitize:
+                    s_src = s_src.withColumn(
+                        "text",
+                        F.pandas_udf(remove_quoted_replies, "string")(F.col("text")),
+                    )
+                if early_mod > 1:
+                    s_src = s_src.where(
+                        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(early_mod)) == 0
+                    )
+                s_src = s_src.select(*self.fields)
+                _counts_fn = _tokenize_term_df_counts(self.simple_tokens, self.fields)
+
+                def _heavy_body() -> None:
+                    try:
+                        heavy_res["rows"] = (
+                            s_src.mapInPandas(_counts_fn, "term string, df long")
+                            .groupBy("term")
+                            .agg(F.sum("df").alias("dfs"))
+                            .where(
+                                F.col("dfs") * early_mod > self.heavy_df_threshold
+                            )
+                            .collect()
+                        )
+                        heavy_res["mod"] = early_mod
+                    except BaseException as e:  # re-raised on the main thread
+                        heavy_res["err"] = e
+
+                heavy_thread = threading.Thread(target=_heavy_body, daemon=True)
+                heavy_thread.start()
+
         if not man.is_complete("doc_index"):
             t0 = time.time()
             df = transcripts
@@ -702,6 +789,7 @@ class IndexBuilder:
             # local sort of every row).  The stored-fields WRITE keeps
             # the exchange — its parallelism is the write itself.
             src_plan = df.select("doc_id", *self.fields)
+            sample_plan = df.select("conv_id", "turn_idx", *self.fields)
             df_pre = df
 
             def _write_doc_index() -> None:
@@ -893,13 +981,13 @@ class IndexBuilder:
                 n_rows = (
                     int(n_total) if ix_thread is not None else int(man.stats["n_rows"])
                 )
-                # heavy-term detection over a deterministic doc_id sample
-                # (mod == 1 → exact full pass).  Sampled on a HASH of
-                # doc_id, not a raw modulo: term occurrence periodic in
-                # doc_id could land entirely off a modulo stride, zeroing
-                # df_est for a genuinely heavy term; the hash stays
-                # deterministic and partition-invariant but is immune to
-                # periodic alignment.
+                # heavy-term detection over a deterministic sample,
+                # keyed on xxhash64(conv_id, turn_idx) — the stable
+                # input key (mod == 1 → exact full pass): a HASH, not a
+                # raw modulo, so term occurrence periodic in input
+                # order cannot dodge the sample; deterministic and
+                # partition-invariant; independent of docid assignment
+                # so the build-entry thread above could overlap it.
                 sample_mod = min(max(1, n_rows // self.heavy_sample_docs), 4096)
                 if src_plan is not None:
                     src = src_plan  # pre-write plan: overlaps the write
@@ -910,26 +998,46 @@ class IndexBuilder:
                         ),
                         scan_target,
                     )
-                sample_src = (
-                    src.where(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
-                    if sample_mod > 1
-                    else src
-                )
                 t1 = time.time()
-                # per-batch (term, df) partial counts → one small agg →
-                # driver dict: the heavy table is bounded by
-                # total_postings / heavy_df_threshold regardless of
-                # corpus size (same bound the old broadcast join had)
-                hrows = (
-                    sample_src.mapInPandas(
-                        _tokenize_term_df_counts(self.simple_tokens, self.fields),
-                        "term string, df long",
+                hrows = None
+                if heavy_thread is not None:
+                    heavy_thread.join()
+                    heavy_thread = None
+                    if "err" in heavy_res:
+                        raise heavy_res["err"]
+                    if heavy_res.get("mod") == sample_mod:
+                        hrows = heavy_res["rows"]
+                    # a mod mismatch means the footer count disagreed
+                    # with the exact post-docid count (it cannot for a
+                    # bare relation, but correctness beats trust):
+                    # recompute below with the authoritative mod
+                if hrows is None:
+                    # per-batch (term, df) partial counts → one small
+                    # agg → driver rows: bounded by total_postings /
+                    # heavy_df_threshold regardless of corpus size
+                    s2 = (
+                        sample_plan
+                        if sample_plan is not None
+                        else self.spark.read.parquet(
+                            man.stage_path("doc_index")
+                        ).select("conv_id", "turn_idx", *self.fields)
                     )
-                    .groupBy("term")
-                    .agg(F.sum("df").alias("dfs"))
-                    .where(F.col("dfs") * sample_mod > self.heavy_df_threshold)
-                    .collect()
-                )
+                    if sample_mod > 1:
+                        s2 = s2.where(
+                            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(sample_mod))
+                            == 0
+                        )
+                    hrows = (
+                        s2.select(*self.fields)
+                        .mapInPandas(
+                            _tokenize_term_df_counts(self.simple_tokens, self.fields),
+                            "term string, df long",
+                        )
+                        .groupBy("term")
+                        .agg(F.sum("df").alias("dfs"))
+                        .where(F.col("dfs") * sample_mod > self.heavy_df_threshold)
+                        .collect()
+                    )
                 heavy_map = {
                     r["term"]: int(
                         -(-(int(r["dfs"]) * sample_mod) // self.split_target)
@@ -984,7 +1092,9 @@ class IndexBuilder:
                 _tr("postings_write", t1)
                 man.commit_stage("postings", seconds=round(time.time() - t0, 2))
         finally:
-            # barrier for the overlapped doc_index/doc_stats writes
+            # barrier for the overlapped doc_index/doc_stats/sample work
+            if heavy_thread is not None:
+                heavy_thread.join()
             if ix_thread is not None:
                 ix_thread.join()
             if stats_thread is not None:
