@@ -2211,16 +2211,32 @@ class SearchEngine:
         """Driver-local mirror of :meth:`_finish`: (score desc, doc_id
         asc) ordering, optional best-per-conv collapse (max-struct
         winner = score desc then doc asc), top-k, rank, conv/turn
-        attachment via the conv_offsets searchsorted."""
+        attachment via the conv_offsets searchsorted.
+
+        Turns mode prunes to the exact top-k SUPERSET first (k-th score
+        threshold via np.partition, keeping every tie at the boundary),
+        so the full sort and the conv attachment touch ~k rows instead
+        of every candidate — measured 0.08 s off a 555k-candidate
+        query.  Conversation mode keeps the full sort: a conv's winner
+        can sit below the global k-th doc score."""
         conv_ids, offs = self._off_bc.value
+        if mode != "conversations" and 0 < k < docs.size and docs.size > max(4 * k, 4096):
+            kth = np.partition(scores, docs.size - k)[docs.size - k]
+            if (scores == kth).all():
+                # constant-score: winners are just the k smallest docs
+                sel = np.argpartition(docs, k - 1)[:k]
+                docs, scores = docs[sel], scores[sel]
+            else:
+                m = scores >= kth  # superset: all boundary ties kept
+                docs, scores = docs[m], scores[m]
         order = np.lexsort((docs, -scores))
         docs, scores = docs[order], scores[order]
-        oi = np.searchsorted(offs, docs, side="right") - 1
         if mode == "conversations":
-            cv = oi  # conversation INDEX identifies the conv
-            first = ~pd.Series(cv).duplicated().to_numpy()
-            docs, scores, oi = docs[first], scores[first], oi[first]
-        docs, scores, oi = docs[:k], scores[:k], oi[:k]
+            oi_all = np.searchsorted(offs, docs, side="right") - 1
+            first = ~pd.Series(oi_all).duplicated().to_numpy()
+            docs, scores = docs[first], scores[first]
+        docs, scores = docs[:k], scores[:k]
+        oi = np.searchsorted(offs, docs, side="right") - 1
         return pd.DataFrame(
             {
                 "rank": np.arange(1, docs.size + 1, dtype=np.int32),
