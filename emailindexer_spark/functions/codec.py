@@ -61,23 +61,32 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
-    """Vectorized varbyte decode → uint64 array."""
+    """Vectorized varbyte decode → uint64 array.
+
+    Single-byte-only buffers (no continuation bits — the common case
+    for small deltas) decode as one cast.  Mixed buffers OR each byte
+    position in with a fancy-indexed scatter per position-within-value
+    (indices are unique per pass, and there are at most 10 passes), which
+    replaces the old ``np.add.at`` single pass — ufunc.at is an order of
+    magnitude slower than a plain unique-index scatter."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (b & 0x80) == 0
+    if bool(is_end.all()):
+        return b.astype(np.uint64)
     value_id = np.zeros(b.size, dtype=np.int64)
     value_id[1:] = np.cumsum(is_end)[:-1]
     n_values = int(is_end.sum())
-    # byte position within its value
-    starts_mask = np.ones(b.size, dtype=np.int64)
-    starts_mask[0] = 0
     # position j of byte i = i - start_of_value(value_id[i])
     value_starts = np.zeros(n_values, dtype=np.int64)
     value_starts[1:] = np.nonzero(is_end)[0][:-1] + 1
     pos = np.arange(b.size, dtype=np.int64) - value_starts[value_id]
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
     out = np.zeros(n_values, dtype=np.uint64)
-    np.add.at(out, value_id, (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64)))
+    for j in range(int(pos.max()) + 1):
+        m = pos == j
+        out[value_id[m]] |= payload[m] << np.uint64(7 * j)
     return out
 
 
@@ -244,7 +253,9 @@ def encode_positions(pos_concat: np.ndarray, tfs: np.ndarray) -> bytes:
 def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
     """Inverse of :func:`encode_positions` → flat positions array."""
     t = np.asarray(tfs, dtype=np.int64)
-    d = varbyte_decode(buf).astype(np.int64)
+    # view, not astype: varbyte_decode returns a fresh uint64 array and
+    # values are < 2^63, so the reinterpret is free and safe
+    d = varbyte_decode(buf).view(np.int64)
     if d.size == 0:
         return d
     cs = np.cumsum(d)

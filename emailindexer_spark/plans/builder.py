@@ -447,13 +447,13 @@ def _encode_chunk_runs(block_size: int, num_parts: int):
         ndocs = np.fromiter((len(x) for x in norms_blobs), np.int64, count=len(pdf))
         row_ends = np.cumsum(ndocs)
         row_starts = row_ends - ndocs
-        docs_all = varbyte_decode(b"".join(pdf["docs"].to_numpy())).astype(np.int64)
+        docs_all = varbyte_decode(b"".join(pdf["docs"].to_numpy())).view(np.int64)
         # undo the per-row delta coding: cumsum, then subtract the prefix
         # that leaked across row boundaries (segment-cumsum trick)
         cs = np.cumsum(docs_all)
         offs = np.concatenate(([0], cs[row_starts[1:] - 1])) if len(pdf) > 1 else np.zeros(1, np.int64)
         docs_abs = cs - np.repeat(offs, ndocs)
-        tfs_all = varbyte_decode(b"".join(pdf["tfs"].to_numpy())).astype(np.int64)
+        tfs_all = varbyte_decode(b"".join(pdf["tfs"].to_numpy())).view(np.int64)
         norms_all = np.frombuffer(b"".join(norms_blobs), dtype=np.uint8).astype(np.int64)
         pos_cat = b"".join(pdf["pos"].to_numpy())
         has_pos = len(pos_cat) > 0

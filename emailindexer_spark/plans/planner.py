@@ -1857,12 +1857,12 @@ class SearchEngine:
             [np.asarray(x, dtype=np.int64) for x in sub["b_first"]]
         )
         nb = np.fromiter((len(x) for x in norm_bufs), np.int64, count=len(norm_bufs))
-        deltas = varbyte_decode(b"".join(doc_bufs)).astype(np.int64)
+        deltas = varbyte_decode(b"".join(doc_bufs)).view(np.int64)
         cs = np.cumsum(deltas)
         starts = np.cumsum(nb) - nb
         offs = np.concatenate(([0], cs[starts[1:] - 1])) if nb.size > 1 else np.zeros(1, np.int64)
         docs = cs - np.repeat(offs, nb) + np.repeat(firsts, nb)
-        tfs = varbyte_decode(b"".join(tf_bufs)).astype(np.int64)
+        tfs = varbyte_decode(b"".join(tf_bufs)).view(np.int64)
         norms = np.frombuffer(b"".join(norm_bufs), dtype=np.uint8).astype(np.int64)
         return docs, tfs, norms
 
@@ -1882,7 +1882,7 @@ class SearchEngine:
             [np.asarray(x, dtype=np.int64) for x in sub["b_first"]]
         )
         nb = np.concatenate([np.asarray(x, dtype=np.int64) for x in sub["b_n"]])
-        deltas = varbyte_decode(b"".join(doc_bufs)).astype(np.int64)
+        deltas = varbyte_decode(b"".join(doc_bufs)).view(np.int64)
         cs = np.cumsum(deltas)
         starts = np.cumsum(nb) - nb
         offs = np.concatenate(([0], cs[starts[1:] - 1])) if nb.size > 1 else np.zeros(1, np.int64)
