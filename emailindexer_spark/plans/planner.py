@@ -1840,6 +1840,14 @@ class SearchEngine:
         return sum(dfs.values()) <= self.LOCAL_MAX_POSTINGS
 
     @staticmethod
+    def _sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+        """Boolean mask: which ``values`` occur in ``sorted_arr``."""
+        p = np.searchsorted(sorted_arr, values)
+        return (p < sorted_arr.size) & (
+            sorted_arr[np.minimum(p, sorted_arr.size - 1)] == values
+        )
+
+    @staticmethod
     def _local_decode_postings(
         sub: pd.DataFrame,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1996,15 +2004,42 @@ class SearchEngine:
                     return None
                 rows = self._local_posting_rows(terms, self.POS_COLS)
                 tcols = rows["term"].to_numpy() if len(rows) else np.empty(0, object)
-                streams = {}
+                # pass 1: docs/tfs/norms only (cheap) → candidate doc
+                # set = intersection of every term's doc set (Lucene's
+                # lead-with-the-rarest conjunction, applied to all
+                # terms at once)
+                raw = {}
+                cand = None
                 for t in terms:
                     sub = rows[tcols == t] if len(rows) else rows
                     docs, tfs, norms = self._local_decode_postings(sub)
                     if docs.size == 0:
                         return empty
-                    pos = decode_positions(
-                        b"".join(b for row in sub["b_pos"] for b in row), tfs
+                    raw[t] = (sub, docs, tfs, norms)
+                    ds = np.sort(docs)
+                    cand = ds if cand is None else cand[self._sorted_member(ds, cand)]
+                    if cand.size == 0:
+                        return empty
+                # pass 2: decode POSITIONS for candidate docs only —
+                # non-candidate segments never leave their byte buffer
+                streams = {}
+                for t in terms:
+                    sub, docs, tfs, norms = raw[t]
+                    sel = self._sorted_member(cand, docs)
+                    docs, tfs, norms = docs[sel], tfs[sel], norms[sel]
+                    pos_cat = b"".join(b for row in sub["b_pos"] for b in row)
+                    pb = np.frombuffer(pos_cat, dtype=np.uint8)
+                    vends = np.nonzero((pb & 0x80) == 0)[0] + 1
+                    all_tfs = raw[t][2]
+                    dend = vends[np.cumsum(all_tfs) - 1]
+                    dstart = np.concatenate(([0], dend[:-1]))
+                    s_, e_ = dstart[sel], dend[sel]
+                    lens = e_ - s_
+                    tot = int(lens.sum())
+                    gather = np.repeat(s_ - (np.cumsum(lens) - lens), lens) + np.arange(
+                        tot, dtype=np.int64
                     )
+                    pos = decode_positions(pb[gather].tobytes(), tfs)
                     if docs.size > 1 and (np.diff(docs) < 0).any():
                         # row order inside part files is layout-
                         # dependent (splits/appends) — doc-sort the
@@ -2013,10 +2048,10 @@ class SearchEngine:
                         sstart = np.cumsum(tfs) - tfs
                         so = tfs[o]
                         tot = int(so.sum())
-                        gather = np.repeat(
+                        g2 = np.repeat(
                             sstart[o] - (np.cumsum(so) - so), so
                         ) + np.arange(tot, dtype=np.int64)
-                        docs, tfs, norms, pos = docs[o], so, norms[o], pos[gather]
+                        docs, tfs, norms, pos = docs[o], so, norms[o], pos[g2]
                     streams[t] = (docs, tfs, norms, pos)
                 m = len(node.terms)
                 # rank-compress doc ids so (rank << 40 | pos) always
