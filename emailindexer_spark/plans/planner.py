@@ -74,6 +74,65 @@ TERM_SCORE_SCHEMA = "term string, doc_id long, score double"
 RESULT_COLS = ["rank", "doc_id", "conv_id", "turn_idx", "score"]
 
 
+def _segmented_delta_docs(buf: bytes, firsts: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """Absolute doc ids from one concatenated varbyte delta stream:
+    global cumsum, then the per-block leak is subtracted back out via
+    the segment trick (each block's offset is the cumsum value at the
+    previous block's last element) and ``b_first`` re-based per block."""
+    deltas = varbyte_decode(buf).view(np.int64)
+    cs = np.cumsum(deltas)
+    starts = np.cumsum(nb) - nb
+    offs = (
+        np.concatenate(([0], cs[starts[1:] - 1])) if nb.size > 1 else np.zeros(1, np.int64)
+    )
+    return cs - np.repeat(offs, nb) + np.repeat(firsts, nb)
+
+
+def _decode_frame_postings(sub: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized decode of posting rows (any mix of blocks) → (docs,
+    tfs, norms): ONE varbyte pass over all blocks — concatenated
+    varbyte streams are self-delimiting — instead of a Python loop per
+    block.  Per-block posting counts come off the norm payload (exactly
+    1 byte per posting)."""
+    doc_bufs = [b for row in sub["b_docs"] for b in row]
+    if not doc_bufs:
+        z = np.empty(0, np.int64)
+        return z, z.copy(), z.copy()
+    norm_bufs = [b for row in sub["b_norms"] for b in row]
+    tf_bufs = [b for row in sub["b_tfs"] for b in row]
+    firsts = np.concatenate([np.asarray(x, dtype=np.int64) for x in sub["b_first"]])
+    nb = np.fromiter((len(x) for x in norm_bufs), np.int64, count=len(norm_bufs))
+    docs = _segmented_delta_docs(b"".join(doc_bufs), firsts, nb)
+    tfs = varbyte_decode(b"".join(tf_bufs)).view(np.int64)
+    norms = np.frombuffer(b"".join(norm_bufs), dtype=np.uint8).astype(np.int64)
+    return docs, tfs, norms
+
+
+def _decode_frame_docs(sub: pd.DataFrame) -> np.ndarray:
+    """Docs-only vectorized decode (NOT exclusion / constant score):
+    per-block value counts are read off the doc stream's own varbyte
+    continuation bits, so only (b_first, b_docs) is ever fetched from
+    parquet.  Returns doc ids in posting order (not deduplicated)."""
+    doc_bufs = [b for row in sub["b_docs"] for b in row]
+    if not doc_bufs:
+        return np.empty(0, np.int64)
+    firsts = np.concatenate([np.asarray(x, dtype=np.int64) for x in sub["b_first"]])
+    blens = np.fromiter((len(x) for x in doc_bufs), np.int64, count=len(doc_bufs))
+    buf = b"".join(doc_bufs)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    n_at = np.cumsum((raw & 0x80) == 0)
+    nb = np.diff(np.concatenate(([0], n_at[np.cumsum(blens) - 1])))
+    return _segmented_delta_docs(buf, firsts, nb)
+
+
+def _sorted_member_mask(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Boolean mask: which ``values`` occur in ``sorted_arr``."""
+    p = np.searchsorted(sorted_arr, values)
+    return (p < sorted_arr.size) & (
+        sorted_arr[np.minimum(p, sorted_arr.size - 1)] == values
+    )
+
+
 def _decode_score_rows(
     idf_map: dict[str, float],
     avgdl: float,
@@ -85,33 +144,31 @@ def _decode_score_rows(
     ``avgdl_map`` overrides the default-field avgdl per KEY for
     field-prefixed keys (per-field BM25 statistics).  ``cand_docs``
     (broadcast of a sorted doc-id array — the rarest MUST term's
-    postings) filters every block MAP-SIDE: docs outside the set can
-    never satisfy the conjunction, so their tf/norm decode and shuffle
-    bytes are skipped entirely."""
+    postings) filters every term's stream MAP-SIDE: docs outside the
+    set can never satisfy the conjunction, so their shuffle bytes are
+    skipped entirely.  Each Arrow batch decodes per TERM in one
+    vectorized pass over all its blocks (the executor lift of the
+    driver-local kernel), not per block in Python."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cand = cand_docs.value if cand_docs is not None else None
         for pdf in it:
             terms, docs, scores = [], [], []
-            for r in pdf.itertuples(index=False):
-                iv = idf_map.get(r.term)
+            for term, sub in pdf.groupby("term", sort=False):
+                iv = idf_map.get(term)
                 if iv is None:
                     continue
-                adl = avgdl_map.get(r.term, avgdl) if avgdl_map else avgdl
-                for i in range(len(r.b_docs)):
-                    d, t, n = decode_block(int(r.b_first[i]), r.b_docs[i], r.b_tfs[i], r.b_norms[i])
-                    if cand is not None:
-                        pos_in = np.searchsorted(cand, d)
-                        keep = (pos_in < cand.size) & (
-                            cand[np.minimum(pos_in, cand.size - 1)] == d
-                        )
-                        if not keep.any():
-                            continue
-                        d, t, n = d[keep], t[keep], n[keep]
-                    s = bm25.score_tf(t, n, adl, iv)
-                    docs.append(d)
-                    scores.append(s)
-                    terms.append(np.full(d.size, r.term, dtype=object))
+                adl = avgdl_map.get(term, avgdl) if avgdl_map else avgdl
+                d, t, n = _decode_frame_postings(sub)
+                if cand is not None:
+                    keep = _sorted_member_mask(cand, d)
+                    if not keep.any():
+                        continue
+                    d, t, n = d[keep], t[keep], n[keep]
+                s = bm25.score_tf(t, n, adl, iv)
+                docs.append(d)
+                scores.append(s)
+                terms.append(np.full(d.size, term, dtype=object))
             if not docs:
                 continue
             yield pd.DataFrame(
@@ -128,17 +185,14 @@ def _decode_score_rows(
 def _decode_docs_only():
     """mapInPandas over posting rows → doc_ids (constant-score / NOT
     exclusion).  Decodes ONLY the docID delta stream — tf/norm payloads
-    are neither read from parquet (see DOCS_COLS) nor decoded."""
+    are neither read from parquet (see DOCS_COLS) nor decoded — in one
+    vectorized pass per Arrow batch."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            docs = []
-            for r in pdf.itertuples(index=False):
-                for i in range(len(r.b_docs)):
-                    deltas = varbyte_decode(r.b_docs[i]).astype(np.int64)
-                    docs.append(np.cumsum(deltas) + int(r.b_first[i]))
-            if docs:
-                yield pd.DataFrame({"doc_id": np.unique(np.concatenate(docs))})
+            docs = _decode_frame_docs(pdf)
+            if docs.size:
+                yield pd.DataFrame({"doc_id": np.unique(docs)})
 
     return gen
 
@@ -338,12 +392,11 @@ def _decode_docs_only_keyed():
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             terms, docs = [], []
-            for r in pdf.itertuples(index=False):
-                for i in range(len(r.b_docs)):
-                    deltas = varbyte_decode(r.b_docs[i]).astype(np.int64)
-                    d = np.cumsum(deltas) + int(r.b_first[i])
+            for term, sub in pdf.groupby("term", sort=False):
+                d = _decode_frame_docs(sub)
+                if d.size:
                     docs.append(d)
-                    terms.append(np.full(d.size, r.term, dtype=object))
+                    terms.append(np.full(d.size, term, dtype=object))
             if docs:
                 yield pd.DataFrame(
                     {"term": np.concatenate(terms), "doc_id": np.concatenate(docs)}
@@ -1842,60 +1895,23 @@ class SearchEngine:
     @staticmethod
     def _sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
         """Boolean mask: which ``values`` occur in ``sorted_arr``."""
-        p = np.searchsorted(sorted_arr, values)
-        return (p < sorted_arr.size) & (
-            sorted_arr[np.minimum(p, sorted_arr.size - 1)] == values
-        )
+        return _sorted_member_mask(sorted_arr, values)
 
-    @staticmethod
-    def _local_decode_postings(
-        sub: pd.DataFrame,
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Vectorized decode of one term's posting rows → (docs, tfs,
-        norms): ONE varbyte pass over all blocks (concatenated varbyte
-        streams are self-delimiting; per-block cumsum leak corrected by
-        the segment trick), instead of the per-block kernel loop."""
-        doc_bufs = [b for row in sub["b_docs"] for b in row]
-        if not doc_bufs:
-            z = np.empty(0, np.int64)
-            return z, z.copy(), z.copy()
-        norm_bufs = [b for row in sub["b_norms"] for b in row]
-        tf_bufs = [b for row in sub["b_tfs"] for b in row]
-        firsts = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in sub["b_first"]]
-        )
-        nb = np.fromiter((len(x) for x in norm_bufs), np.int64, count=len(norm_bufs))
-        deltas = varbyte_decode(b"".join(doc_bufs)).view(np.int64)
-        cs = np.cumsum(deltas)
-        starts = np.cumsum(nb) - nb
-        offs = np.concatenate(([0], cs[starts[1:] - 1])) if nb.size > 1 else np.zeros(1, np.int64)
-        docs = cs - np.repeat(offs, nb) + np.repeat(firsts, nb)
-        tfs = varbyte_decode(b"".join(tf_bufs)).view(np.int64)
-        norms = np.frombuffer(b"".join(norm_bufs), dtype=np.uint8).astype(np.int64)
-        return docs, tfs, norms
+    #: vectorized decode of one term's posting rows → (docs, tfs,
+    #: norms) — the same kernel the executor path uses (module-level
+    #: ``_decode_frame_postings``): ONE varbyte pass over all blocks.
+    _local_decode_postings = staticmethod(_decode_frame_postings)
 
-    #: docs-only local reads carry b_n (block doc counts) instead of the
-    #: tf/norm payloads, so the delta cumsum can be segmented without
-    #: decoding anything else
-    LOCAL_DOCS_COLS = ("b_first", "b_docs", "b_n")
+    #: docs-only local reads: per-block counts come off the doc
+    #: stream's own varbyte continuation bits (_decode_frame_docs), so
+    #: not even b_n is fetched
+    LOCAL_DOCS_COLS = ("b_first", "b_docs")
 
     @staticmethod
     def _local_decode_docs(sub: pd.DataFrame) -> np.ndarray:
         """Vectorized docs-only decode (membership sets): sorted unique
-        doc ids over every block of ``sub``."""
-        doc_bufs = [b for row in sub["b_docs"] for b in row]
-        if not doc_bufs:
-            return np.empty(0, np.int64)
-        firsts = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in sub["b_first"]]
-        )
-        nb = np.concatenate([np.asarray(x, dtype=np.int64) for x in sub["b_n"]])
-        deltas = varbyte_decode(b"".join(doc_bufs)).view(np.int64)
-        cs = np.cumsum(deltas)
-        starts = np.cumsum(nb) - nb
-        offs = np.concatenate(([0], cs[starts[1:] - 1])) if nb.size > 1 else np.zeros(1, np.int64)
-        docs = cs - np.repeat(offs, nb) + np.repeat(firsts, nb)
-        return np.unique(docs)
+        doc ids over every block of ``sub`` — shared executor kernel."""
+        return np.unique(_decode_frame_docs(sub))
 
     def _local_term_streams(
         self,

@@ -476,3 +476,70 @@ class TestFastTokenizerCodes:
             assert a.doc_bytes == b.doc_bytes
             assert a.tf_bytes == b.tf_bytes
             assert a.norm_bytes == b.norm_bytes
+
+
+class TestFrameDecode:
+    """The executor-lifted frame decoders (planner._decode_frame_*)
+    must equal the per-block reference decode for ANY mix of terms,
+    rows and block sizes (multi-row terms, single-byte and multi-byte
+    varbyte deltas, segment-boundary leak correction)."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 1 << 40), min_size=1, max_size=120, unique=True),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(1, 9),
+    )
+    def test_frame_decode_matches_per_block(self, doc_lists, tf_mod):
+        from emailindexer_spark.functions.codec import decode_block, encode_blocks_vec
+        from emailindexer_spark.plans.planner import (
+            _decode_frame_docs,
+            _decode_frame_postings,
+        )
+
+        rows = []
+        for j, docs in enumerate(doc_lists):
+            d = np.sort(np.asarray(docs, dtype=np.int64))
+            tfs = (d % tf_mod + 1).astype(np.int64)
+            norms = (d % 256).astype(np.int64)
+            eb = encode_blocks_vec(d, tfs, norms, block_size=3)
+            rows.append(
+                {
+                    "term": f"t{j}",
+                    "b_first": list(eb.first_doc),
+                    "b_docs": eb.doc_bytes,
+                    "b_tfs": eb.tf_bytes,
+                    "b_norms": eb.norm_bytes,
+                }
+            )
+        pdf = pd.DataFrame(rows)
+
+        ref_d, ref_t, ref_n = [], [], []
+        for r in pdf.itertuples(index=False):
+            for i in range(len(r.b_docs)):
+                d, t, n = decode_block(
+                    int(r.b_first[i]), r.b_docs[i], r.b_tfs[i], r.b_norms[i]
+                )
+                ref_d.append(d), ref_t.append(t), ref_n.append(n)
+        ref_d = np.concatenate(ref_d)
+
+        got_d, got_t, got_n = _decode_frame_postings(pdf)
+        assert (got_d == ref_d).all()
+        assert (got_t == np.concatenate(ref_t)).all()
+        assert (got_n == np.concatenate(ref_n)).all()
+        # docs-only variant: segments recovered from continuation bits
+        assert (_decode_frame_docs(pdf[["term", "b_first", "b_docs"]]) == ref_d).all()
+
+    def test_frame_decode_empty(self):
+        from emailindexer_spark.plans.planner import (
+            _decode_frame_docs,
+            _decode_frame_postings,
+        )
+
+        pdf = pd.DataFrame({"term": [], "b_first": [], "b_docs": [], "b_tfs": [], "b_norms": []})
+        d, t, n = _decode_frame_postings(pdf)
+        assert d.size == t.size == n.size == 0
+        assert _decode_frame_docs(pdf).size == 0
