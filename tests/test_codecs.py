@@ -64,6 +64,44 @@ def test_wav_rejects_garbage():
         C.decode_wav(b"\x01\x02\x03\x04" * 32)
 
 
+def test_wav_multichunk_list_before_data():
+    # RIFF files may carry LIST/INFO (or any) chunks between fmt and
+    # data; the chunk walk must skip them — and odd-sized chunks are
+    # word-aligned with a pad byte.  Exercises BOTH tag paths: the
+    # IEEE-float decoder's own walk and wave-module PCM.
+    import struct
+
+    rate = 8000
+    # --- IEEE float with a LIST chunk (odd payload -> pad byte) ahead of data
+    x = np.linspace(-1, 1, 32).astype("<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    info = b"INFOICMT" + struct.pack("<I", 5) + b"hello" + b"\x00"  # word-aligned
+    data = x.tobytes()
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info) - 1) + info[: len(info) - 1] + b"\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    samples, r = C.decode_wav(payload)
+    assert r == rate and np.allclose(samples.ravel(), x, atol=1e-7)
+    # _wav_fmt_tag's walk must have skipped LIST to find the tag
+    assert C._wav_fmt_tag(payload) == 3
+
+    # --- 16-bit PCM with the same LIST chunk layout (wave-module path)
+    pcm = (np.linspace(-0.5, 0.5, 16) * 32767).astype("<i2").tobytes()
+    fmt16 = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body16 = (
+        b"fmt " + struct.pack("<I", len(fmt16)) + fmt16
+        + b"LIST" + struct.pack("<I", len(info) - 1) + info[: len(info) - 1] + b"\x00"
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    payload16 = b"RIFF" + struct.pack("<I", 4 + len(body16)) + b"WAVE" + body16
+    samples16, r16 = C.decode_wav(payload16)
+    assert r16 == rate and samples16.shape == (16, 1)
+    assert np.abs(samples16.ravel() - np.linspace(-0.5, 0.5, 16)).max() < 1.5 / 32768
+
+
 # ---------------------------------------------------------------- BMP
 
 def test_bmp_roundtrip():
