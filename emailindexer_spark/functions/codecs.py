@@ -263,3 +263,75 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = 16) -> np.ndarray:
             bands[b] = np.log1p(float((seg**2).sum()))
     out = np.concatenate([[rms, zcr, centroid], bands]).astype(np.float32)
     return out[:dim]
+
+
+# ------------------------------------------------- batched feature math
+#
+# Same-shape media items inside one Arrow batch can run their feature
+# math on STACKED arrays (decode stays per item — variable-length binary
+# is inherently per-payload).  These kernels are bit-for-bit equal to
+# mapping the per-item functions: every reduction runs over the same
+# elements along an axis of the same length (numpy's pairwise summation
+# blocking depends only on that length), every elementwise op is
+# identical, and the FFT is computed per row at the same transform size.
+# Lock-step equality is pinned by tests/test_codecs.py.
+
+
+def image_features_batch(stack: np.ndarray, dim: int = 16) -> np.ndarray:
+    """``image_features`` over a (n, h, w, 3) uint8 stack → (n, dim)."""
+    n, h, w = stack.shape[:3]
+    luma = (
+        0.299 * stack[:, :, :, 0] + 0.587 * stack[:, :, :, 1] + 0.114 * stack[:, :, :, 2]
+    ).astype(np.float64).astype(np.uint8)
+    # resize_image(luma, 4, 4) on every item, batched: same span maths
+    out_h = out_w = 4
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(np.int64)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(np.int64)
+    ys, xs = np.clip(ys, 0, h), np.clip(xs, 0, w)
+    x0 = np.minimum(xs[:-1], w - 1)
+    x1 = np.clip(np.maximum(x0 + 1, xs[1:]), 1, w)
+    a = luma.astype(np.float64)
+    grid = np.empty((n, out_h, out_w), dtype=np.uint8)
+    for i in range(out_h):
+        y0 = min(int(ys[i]), h - 1)
+        y1 = min(max(y0 + 1, int(ys[i + 1])), h)
+        row = a[:, y0:y1, :]
+        cs = np.concatenate(
+            [np.zeros((n, 1)), row.sum(axis=1).cumsum(axis=1)], axis=1
+        )
+        span = (cs[:, x1] - cs[:, x0]) / ((x1 - x0) * (y1 - y0))[None, :]
+        grid[:, i, :] = np.clip(span.round(), 0, 255).astype(np.uint8)
+    flat = grid.reshape(n, -1) / 255.0
+    out = np.zeros((n, dim), dtype=np.float32)
+    take = min(dim, flat.shape[1])
+    out[:, :take] = flat[:, :take]
+    return out
+
+
+def audio_features_batch(stack: np.ndarray, rate: int, dim: int = 16) -> np.ndarray:
+    """``audio_features`` over a (m, n) or (m, n, ch) float stack of
+    equal-length clips at one rate → (m, dim)."""
+    mono = stack.mean(axis=2) if stack.ndim == 3 else stack
+    m, n = mono.shape
+    if n == 0:
+        return np.zeros((m, dim), dtype=np.float32)
+    rms = np.sqrt(np.mean(mono**2, axis=1))
+    if n > 1:
+        zcr = np.mean(np.signbit(mono[:, 1:]) != np.signbit(mono[:, :-1]), axis=1)
+    else:
+        zcr = np.zeros(m)
+    spec = np.abs(np.fft.rfft(mono * np.hanning(n)[None, :], axis=1))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    ssum = spec.sum(axis=1)
+    centroid = np.where(ssum > 0, (spec * freqs[None, :]).sum(axis=1) / np.where(ssum > 0, ssum, 1.0) / (rate / 2), 0.0)
+    nb = max(0, dim - 3)
+    bands = np.zeros((m, nb))
+    if nb and spec.shape[1]:
+        edges = np.linspace(0, spec.shape[1], nb + 1).astype(np.int64)
+        for b in range(nb):
+            seg = spec[:, edges[b] : max(edges[b] + 1, edges[b + 1])]
+            bands[:, b] = np.log1p((seg**2).sum(axis=1))
+    out = np.concatenate([np.stack([rms, zcr, centroid], axis=1), bands], axis=1).astype(
+        np.float32
+    )
+    return out[:, :dim]

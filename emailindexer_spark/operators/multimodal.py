@@ -57,11 +57,12 @@ FEATURE_SCHEMA = "media_id string, kind string, feature array<float>, n_bytes in
 FRAME_SCHEMA = "media_id string, frame_idx int, frame binary"
 
 
-def _decode_features(
+def _decode_media(
     payload: bytes, kind: str, fmt: str, fake: bool, dim: int = 16
-) -> np.ndarray:
-    """Real features when the format is stdlib-decodable; otherwise the
-    deterministic fake (if allowed) or a loud NotImplementedError."""
+) -> tuple[str, object]:
+    """Decode step only → ``('image', rgb_array)`` /
+    ``('audio', (samples, rate))`` / ``('vec', fake_feature_vector)``;
+    raises (loudly) for undecodable or corrupt input at ``fake=False``."""
     fmt = (fmt or "").lower()
     decodable = (kind == "image" and fmt in codecs.DECODABLE_IMAGE) or (
         kind == "audio" and fmt in codecs.DECODABLE_AUDIO
@@ -69,9 +70,8 @@ def _decode_features(
     if decodable:
         try:
             if kind == "image":
-                return codecs.image_features(codecs.decode_image(payload, fmt), dim)
-            samples, rate = codecs.decode_wav(payload)
-            return codecs.audio_features(samples, rate, dim)
+                return "image", codecs.decode_image(payload, fmt)
+            return "audio", codecs.decode_wav(payload)
         except (
             ValueError,
             EOFError,
@@ -94,27 +94,76 @@ def _decode_features(
     # deterministic fake: md5-seeded feature vector (stable across runs)
     h = hashlib.md5(payload or b"").digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-    return rng.standard_normal(dim).astype(np.float32)
+    return "vec", rng.standard_normal(dim).astype(np.float32)
+
+
+def _decode_features(
+    payload: bytes, kind: str, fmt: str, fake: bool, dim: int = 16
+) -> np.ndarray:
+    """Real features when the format is stdlib-decodable; otherwise the
+    deterministic fake (if allowed) or a loud NotImplementedError."""
+    tag, val = _decode_media(payload, kind, fmt, fake, dim)
+    if tag == "image":
+        return codecs.image_features(val, dim)
+    if tag == "audio":
+        samples, rate = val
+        return codecs.audio_features(samples, rate, dim)
+    return val
 
 
 def extract_features(df: DataFrame, fake: bool = False, dim: int = 16) -> DataFrame:
     """media table → per-item feature vector (Arrow-batched).  WAV/BMP/
     PGM/PPM payloads get REAL decoded signal features; others fall back
-    to the deterministic fake (or raise, when ``fake=False``)."""
+    to the deterministic fake (or raise, when ``fake=False``).
+
+    Decode is per item (variable-length binary), but the feature math
+    runs on STACKED same-shape arrays per Arrow batch via the
+    ``*_features_batch`` kernels — bit-for-bit equal to the per-item
+    functions (pinned in tests/test_codecs.py)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _decode_features(
-                    m, k, (meta or {}).get("format"), fake, dim
-                ).tolist()
-                for m, k, meta in zip(pdf["media"], pdf["kind"], pdf["meta"])
-            ]
+            feats: list[np.ndarray | None] = [None] * len(pdf)
+            img_buckets: dict[tuple, list] = {}
+            aud_buckets: dict[tuple, list] = {}
+            for i, (m, k, meta) in enumerate(
+                zip(pdf["media"], pdf["kind"], pdf["meta"])
+            ):
+                tag, val = _decode_media(m, k, (meta or {}).get("format"), fake, dim)
+                if tag == "image":
+                    img_buckets.setdefault(val.shape, []).append((i, val))
+                elif tag == "audio":
+                    samples, rate = val
+                    aud_buckets.setdefault((samples.shape, rate), []).append(
+                        (i, samples)
+                    )
+                else:
+                    feats[i] = val
+            for items in img_buckets.values():
+                if len(items) == 1:
+                    i, arr = items[0]
+                    feats[i] = codecs.image_features(arr, dim)
+                else:
+                    fb = codecs.image_features_batch(
+                        np.stack([a for _, a in items]), dim
+                    )
+                    for j, (i, _) in enumerate(items):
+                        feats[i] = fb[j]
+            for (_, rate), items in aud_buckets.items():
+                if len(items) == 1:
+                    i, s = items[0]
+                    feats[i] = codecs.audio_features(s, rate, dim)
+                else:
+                    fb = codecs.audio_features_batch(
+                        np.stack([s for _, s in items]), rate, dim
+                    )
+                    for j, (i, _) in enumerate(items):
+                        feats[i] = fb[j]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": feats,
+                    "feature": [f.tolist() for f in feats],
                     "n_bytes": pdf["media"].map(lambda b: len(b) if b is not None else 0),
                 }
             )

@@ -202,3 +202,78 @@ def test_synth_media_row_deterministic_and_decodable():
         else:
             arr = C.decode_image(payload, fmt)
             assert arr.shape == (meta["height"], meta["width"], 3)
+
+
+# ------------------------------------------------- batched feature math
+
+def test_image_features_batch_bit_equal():
+    rng = np.random.default_rng(7)
+    for h, w in [(5, 9), (16, 16), (3, 31), (1, 1), (40, 7)]:
+        stack = rng.integers(0, 256, size=(6, h, w, 3), dtype=np.uint8)
+        got = C.image_features_batch(stack, dim=16)
+        for j in range(stack.shape[0]):
+            ref = C.image_features(stack[j], dim=16)
+            assert np.array_equal(got[j], ref), (h, w, j)
+    # dim larger than the grid
+    stack = rng.integers(0, 256, size=(3, 8, 8, 3), dtype=np.uint8)
+    got = C.image_features_batch(stack, dim=32)
+    for j in range(3):
+        assert np.array_equal(got[j], C.image_features(stack[j], dim=32))
+
+
+def test_audio_features_batch_bit_equal():
+    rng = np.random.default_rng(11)
+    for n, ch, rate in [(1000, 1, 8000), (333, 2, 44100), (1, 1, 8000), (64, 2, 16000)]:
+        stack = (rng.standard_normal((5, n, ch)) * 0.3).astype(np.float32)
+        got = C.audio_features_batch(stack, rate, dim=16)
+        for j in range(stack.shape[0]):
+            ref = C.audio_features(stack[j], rate, dim=16)
+            assert np.array_equal(got[j], ref), (n, ch, rate, j)
+    # silence (centroid guard) and tiny dim
+    stack = np.zeros((4, 128, 1), dtype=np.float32)
+    got = C.audio_features_batch(stack, 8000, dim=3)
+    for j in range(4):
+        assert np.array_equal(got[j], C.audio_features(stack[j], 8000, dim=3))
+
+
+def test_extract_features_batched_equals_per_item_path():
+    # the bucketing in operators.multimodal must route every item to a
+    # feature identical to the sequential _decode_features result
+    from emailindexer_spark.operators.multimodal import _decode_features
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(4):  # two shared BMP shapes
+        arr = rng.integers(0, 256, size=(10 + (i % 2), 8, 3), dtype=np.uint8)
+        rows.append(("image", "bmp", C.encode_bmp(arr)))
+    for i in range(4):  # two shared WAV lengths
+        x = (rng.standard_normal((200 + (i % 2) * 50, 1)) * 0.2).astype(np.float32)
+        rows.append(("audio", "wav", C.encode_wav(x, 8000)))
+    rows.append(("image", "jpeg", b"\xff\xd8 garbage"))  # fake-vector path
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [f"m{i}" for i in range(len(rows))],
+            "kind": [r[0] for r in rows],
+            "media": [r[2] for r in rows],
+            "meta": [{"format": r[1]} for r in rows],
+        }
+    )
+    # drive the mapInPandas generator directly (no Spark needed)
+    from emailindexer_spark.operators import multimodal as MM
+
+    gen = None
+    captured = {}
+
+    class _FakeDF:
+        def mapInPandas(self, g, schema):
+            captured["gen"] = g
+            return None
+
+    MM.extract_features(_FakeDF(), fake=True, dim=16)
+    gen = captured["gen"]
+    (out,) = list(gen(iter([pdf])))
+    for i, r in enumerate(rows):
+        ref = _decode_features(r[2], r[0], r[1], True, 16)
+        assert np.array_equal(np.asarray(out["feature"][i], dtype=np.float32), ref), i
