@@ -44,7 +44,6 @@ from pyspark.sql import functions as F
 
 from emailindexer_spark.functions import bm25
 from emailindexer_spark.functions.codec import (
-    decode_block,
     decode_positions,
     varbyte_decode,
 )
@@ -549,38 +548,38 @@ def _decode_positions_stream(phrase_terms: tuple[str, ...], cand_docs=None):
         cand = cand_docs.value if cand_docs is not None else None
         for pdf in it:
             docs_out, slot_out, tf_out, pos_out, norm_out = [], [], [], [], []
-            for r in pdf.itertuples(index=False):
-                slots = slot_map.get(r.term)
+            for term, sub in pdf.groupby("term", sort=False):
+                slots = slot_map.get(term)
                 if not slots:
                     continue
-                for i in range(len(r.b_docs)):
-                    d, t, n = decode_block(
-                        int(r.b_first[i]), r.b_docs[i], r.b_tfs[i], r.b_norms[i]
+                # one frame pass over every block of this term's rows;
+                # the concatenated pos stream is split at doc boundaries
+                # by ONE continuation-bit scan (value ends), indexed by
+                # the per-doc tf cumsum — no decode of the positions
+                d, t, n = _decode_frame_postings(sub)
+                raw = b"".join(b for row in sub["b_pos"] for b in row)
+                rb = np.frombuffer(raw, dtype=np.uint8)
+                ends = np.nonzero((rb & 0x80) == 0)[0] + 1  # byte end per value
+                byte_ends = ends[np.cumsum(t) - 1]  # byte end per doc
+                byte_starts = np.concatenate(([0], byte_ends[:-1]))
+                if cand is not None:
+                    # sorted-array membership: keep candidate docs only
+                    keep = _sorted_member_mask(cand, d)
+                    if not keep.any():
+                        continue
+                    sel = np.nonzero(keep)[0]
+                    bufs = [raw[byte_starts[x]:byte_ends[x]] for x in sel]
+                    d, t, n = d[sel], t[sel], n[sel]
+                else:
+                    bufs = [raw[a:z] for a, z in zip(byte_starts, byte_ends)]
+                for s in slots:
+                    docs_out.append(d)
+                    slot_out.append(np.full(d.size, s, dtype=np.int32))
+                    tf_out.append(t)
+                    pos_out.extend(bufs)
+                    norm_out.append(
+                        n if s == 0 else np.zeros(d.size, dtype=np.int64)
                     )
-                    raw = r.b_pos[i]
-                    b = np.frombuffer(raw, dtype=np.uint8)
-                    ends = np.nonzero((b & 0x80) == 0)[0] + 1  # byte end per value
-                    byte_ends = ends[np.cumsum(t) - 1]  # byte end per doc
-                    byte_starts = np.concatenate(([0], byte_ends[:-1]))
-                    if cand is not None:
-                        # sorted-array membership: keep candidate docs only
-                        pos_in = np.searchsorted(cand, d)
-                        keep = (pos_in < cand.size) & (cand[np.minimum(pos_in, cand.size - 1)] == d)
-                        if not keep.any():
-                            continue
-                        sel = np.nonzero(keep)[0]
-                        bufs = [raw[byte_starts[x]:byte_ends[x]] for x in sel]
-                        d, t, n = d[sel], t[sel], n[sel]
-                    else:
-                        bufs = [raw[a:z] for a, z in zip(byte_starts, byte_ends)]
-                    for s in slots:
-                        docs_out.append(d)
-                        slot_out.append(np.full(d.size, s, dtype=np.int32))
-                        tf_out.append(t)
-                        pos_out.extend(bufs)
-                        norm_out.append(
-                            n if s == 0 else np.zeros(d.size, dtype=np.int64)
-                        )
             if docs_out:
                 yield pd.DataFrame(
                     {
