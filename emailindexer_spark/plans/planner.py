@@ -2267,8 +2267,17 @@ class SearchEngine:
         threshold via np.partition, keeping every tie at the boundary),
         so the full sort and the conv attachment touch ~k rows instead
         of every candidate — measured 0.08 s off a 555k-candidate
-        query.  Conversation mode keeps the full sort: a conv's winner
-        can sit below the global k-th doc score."""
+        query.  Conversation mode never sorts the full candidate set
+        either: conversations are CONTIGUOUS doc ranges and the
+        candidates arrive doc-sorted, so conv grouping is one
+        searchsorted of the (much smaller) offset array + repeat, the
+        per-conv winner (max score, tie → smallest doc) is a reduceat
+        group-max and a first-equal-per-group pick, and only the
+        winners — one row per conversation hit — pay the
+        (score desc, doc asc) lexsort.  Measured 0.19 → ~0.10 s on the
+        555k-candidate bench query; same winners by construction (the
+        old path's sort-then-first-per-conv picks exactly the max-score
+        / smallest-doc row per conv)."""
         conv_ids, offs = self._off_bc.value
         if mode != "conversations" and 0 < k < docs.size and docs.size > max(4 * k, 4096):
             kth = np.partition(scores, docs.size - k)[docs.size - k]
@@ -2279,14 +2288,28 @@ class SearchEngine:
             else:
                 m = scores >= kth  # superset: all boundary ties kept
                 docs, scores = docs[m], scores[m]
-        order = np.lexsort((docs, -scores))
-        docs, scores = docs[order], scores[order]
-        if mode == "conversations":
-            oi_all = np.searchsorted(offs, docs, side="right") - 1
-            first = ~pd.Series(oi_all).duplicated().to_numpy()
-            docs, scores = docs[first], scores[first]
-        docs, scores = docs[:k], scores[:k]
-        oi = np.searchsorted(offs, docs, side="right") - 1
+        if mode == "conversations" and docs.size:
+            if not bool((docs[1:] > docs[:-1]).all()):
+                o0 = np.argsort(docs, kind="stable")
+                docs, scores = docs[o0], scores[o0]
+            b = np.searchsorted(docs, offs)
+            counts = np.diff(np.append(b, docs.size))
+            gids = np.repeat(np.arange(offs.size, dtype=np.int64), counts)
+            starts = b[counts > 0]
+            gmax = np.maximum.reduceat(scores, starts)
+            seg = np.diff(np.append(starts, docs.size))
+            cand = scores == np.repeat(gmax, seg)
+            pos = np.flatnonzero(cand)
+            g = gids[pos]
+            first = np.concatenate(([True], g[1:] != g[:-1]))
+            wpos = pos[first]
+            wdocs, wscores, wgid = docs[wpos], scores[wpos], g[first]
+            order = np.lexsort((wdocs, -wscores))[:k]
+            docs, scores, oi = wdocs[order], wscores[order], wgid[order]
+        else:
+            order = np.lexsort((docs, -scores))
+            docs, scores = docs[order][:k], scores[order][:k]
+            oi = np.searchsorted(offs, docs, side="right") - 1
         return pd.DataFrame(
             {
                 "rank": np.arange(1, docs.size + 1, dtype=np.int32),

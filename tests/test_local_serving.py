@@ -148,3 +148,43 @@ def test_local_decoders_match_block_kernels(engines):
     assert (norms == np.concatenate(exp_n)).all()
     drows = local._local_posting_rows({heavy}, local.LOCAL_DOCS_COLS)
     assert (local._local_decode_docs(drows) == np.unique(np.concatenate(exp_d))).all()
+
+
+def test_local_finish_conversations_collapse_fuzz():
+    """The grouped-reduceat conversation collapse in _local_finish must
+    pick exactly the winners of the reference algorithm (full
+    (score desc, doc asc) sort then first-per-conv) — including score
+    ties within AND across conversations."""
+    from types import SimpleNamespace
+
+    import pandas as pd
+
+    from emailindexer_spark.plans.planner import SearchEngine
+
+    rng = np.random.default_rng(17)
+    for trial in range(60):
+        n_rows = int(rng.integers(1, 400))
+        # conv layout: contiguous doc ranges tiling [0, n_rows)
+        n_convs = int(rng.integers(1, min(40, n_rows) + 1))
+        cuts = np.sort(rng.choice(np.arange(1, n_rows), size=n_convs - 1, replace=False)) if n_convs > 1 else np.empty(0, np.int64)
+        offs = np.concatenate(([0], cuts)).astype(np.int64)
+        conv_ids = np.array([f"c{i}" for i in range(n_convs)], dtype=object)
+        eng = SimpleNamespace(_off_bc=SimpleNamespace(value=(conv_ids, offs)))
+        # candidate subset with heavy score ties (quantized scores)
+        m = int(rng.integers(1, n_rows + 1))
+        docs = np.sort(rng.choice(n_rows, size=m, replace=False)).astype(np.int64)
+        scores = rng.integers(0, 4, size=m).astype(np.float64) / 2.0
+        k = int(rng.integers(1, 12))
+
+        got = SearchEngine._local_finish(eng, docs.copy(), scores.copy(), k, "conversations")
+
+        order = np.lexsort((docs, -scores))
+        ds, ss = docs[order], scores[order]
+        oi_all = np.searchsorted(offs, ds, side="right") - 1
+        first = ~pd.Series(oi_all).duplicated().to_numpy()
+        ds, ss = ds[first][:k], ss[first][:k]
+        oi = np.searchsorted(offs, ds, side="right") - 1
+        assert list(got["doc_id"]) == list(ds), trial
+        assert list(got["score"]) == list(ss), trial
+        assert list(got["conv_id"]) == list(conv_ids[oi]), trial
+        assert list(got["turn_idx"]) == list((ds - offs[oi]).astype(np.int32)), trial
